@@ -1,0 +1,112 @@
+"""Property tests: the TPU 32-bit-lane fixed-point ops match a direct int64
+port of the gemmlowp/TFLite reference functions on random and edge inputs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yoloface_tpu.core.fixedpoint import (
+    multiply_by_quantized_multiplier,
+    quantize_multiplier,
+    rounding_divide_by_pot,
+    saturating_rounding_doubling_high_mul,
+)
+
+I32_MIN, I32_MAX = -(2**31), 2**31 - 1
+
+
+def srdhm_ref(a: int, b: int) -> int:
+    """gemmlowp SaturatingRoundingDoublingHighMul in python ints."""
+    if a == I32_MIN and b == I32_MIN:
+        return I32_MAX
+    ab = a * b
+    nudge = (1 << 30) if ab >= 0 else 1 - (1 << 30)
+    v = ab + nudge
+    # C int64 division by 2**31 truncates toward zero.
+    q = abs(v) >> 31
+    return q if v >= 0 else -q
+
+
+def rdivpot_ref(x: int, exponent: int) -> int:
+    mask = (1 << exponent) - 1
+    remainder = x & mask
+    threshold = (mask >> 1) + (1 if x < 0 else 0)
+    return (x >> exponent) + (1 if remainder > threshold else 0)
+
+
+def mbqm_ref(x: int, qm: int, shift: int) -> int:
+    left = max(shift, 0)
+    right = max(-shift, 0)
+    xs = (x * (1 << left)) & 0xFFFFFFFF
+    if xs >= 2**31:
+        xs -= 2**32  # int32 wrap, like the C code
+    return rdivpot_ref(srdhm_ref(xs, qm), right)
+
+
+def test_srdhm_matches_reference():
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        rng.integers(I32_MIN, I32_MAX, 20000, dtype=np.int64),
+        np.array([0, 1, -1, I32_MIN, I32_MAX, 2**30, -(2**30), 3, -3]),
+    ]).astype(np.int32)
+    qms = np.concatenate([
+        rng.integers(1 << 30, I32_MAX, xs.size - 4, dtype=np.int64),
+        np.array([1 << 30, I32_MAX, (1 << 30) + 1, I32_MAX - 1]),
+    ]).astype(np.int32)
+    got = np.asarray(saturating_rounding_doubling_high_mul(
+        jnp.asarray(xs), jnp.asarray(qms)))
+    want = np.array([srdhm_ref(int(a), int(b)) for a, b in zip(xs, qms)],
+                    dtype=np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rdivpot_matches_reference():
+    rng = np.random.default_rng(1)
+    xs = rng.integers(I32_MIN, I32_MAX, 20000, dtype=np.int64).astype(np.int32)
+    es = rng.integers(0, 31, xs.size).astype(np.int32)
+    got = np.asarray(rounding_divide_by_pot(jnp.asarray(xs), jnp.asarray(es)))
+    want = np.array([rdivpot_ref(int(x), int(e)) for x, e in zip(xs, es)],
+                    dtype=np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mbqm_matches_reference():
+    rng = np.random.default_rng(2)
+    # accumulators in a realistic conv range plus extremes
+    xs = np.concatenate([
+        rng.integers(-(2**24), 2**24, 10000, dtype=np.int64),
+        rng.integers(I32_MIN, I32_MAX, 2000, dtype=np.int64),
+    ]).astype(np.int32)
+    reals = np.exp(rng.uniform(np.log(1e-6), np.log(4.0), xs.size))
+    qms, shifts = [], []
+    for m in reals:
+        q, s = quantize_multiplier(float(m))
+        qms.append(q)
+        shifts.append(s)
+    qms = np.asarray(qms, np.int32)
+    shifts = np.asarray(shifts, np.int32)
+    # only negative-shift cases can use extreme accumulators without the
+    # int32 left-shift wrap being exercised differently; test both anyway
+    got = np.asarray(multiply_by_quantized_multiplier(
+        jnp.asarray(xs), jnp.asarray(qms), jnp.asarray(shifts)))
+    want = np.array([mbqm_ref(int(x), int(q), int(s))
+                     for x, q, s in zip(xs, qms, shifts)], dtype=np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quantize_multiplier_known_values():
+    # identity multiplier 0.5 -> mantissa 2**30, shift 0
+    assert quantize_multiplier(0.5) == (1 << 30, 0)
+    assert quantize_multiplier(1.0) == (1 << 30, 1)
+    assert quantize_multiplier(0.0) == (0, 0)
+    q, s = quantize_multiplier(0.25)
+    assert q == 1 << 30 and s == -1
+
+
+def test_jit_and_vmap_compatible():
+    f = jax.jit(lambda x, q, s: multiply_by_quantized_multiplier(x, q, s))
+    out = f(jnp.arange(-5, 5, dtype=jnp.int32),
+            jnp.int32(1 << 30), jnp.int32(0))
+    np.testing.assert_array_equal(
+        np.asarray(out),
+        [mbqm_ref(x, 1 << 30, 0) for x in range(-5, 5)])

@@ -1,0 +1,138 @@
+"""Exact TFLite/gemmlowp fixed-point requantization arithmetic, TPU-native.
+
+This is the correctness keystone of the framework: every int8 op in the
+runtime requantizes int32 accumulators with *bit-exactly* the same semantics
+as the TFLite builtin kernels (and therefore the reference's X-CUBE-AI C
+runtime, whose intq tables at ``stm32/X-CUBE-AI/App/network.c:665+`` were
+generated from the same ``yoloface_int8.tflite``).
+
+TPU constraint: no int64.  ``SaturatingRoundingDoublingHighMul`` needs the
+high 33 bits of a 63-bit product, so we compute the product in uint32
+magnitude arithmetic with 16-bit limb splits and explicit carries.  All ops
+here lower to plain VPU int32/uint32 instructions and work identically under
+``jit`` on TPU/CPU and inside Pallas kernels.
+
+Reference semantics (gemmlowp / tensorflow/lite/kernels/internal/common.h):
+
+  SRDHM(a, b)         = round((a * b) / 2**31), rounding half away from zero,
+                        saturating only for a == b == INT32_MIN (cannot occur
+                        here because b = quantized multiplier > 0).
+  RDivPOT(x, e)       = round(x / 2**e), rounding half away from zero.
+  MBQM(x, qm, shift)  = RDivPOT(SRDHM(x * 2**max(shift,0), qm), max(-shift,0))
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "quantize_multiplier",
+    "quantize_multiplier_arr",
+    "saturating_rounding_doubling_high_mul",
+    "rounding_divide_by_pot",
+    "multiply_by_quantized_multiplier",
+]
+
+
+# --------------------------------------------------------------------------
+# Host-side (import/compile time): real multiplier -> (int32 mantissa, shift)
+# --------------------------------------------------------------------------
+def quantize_multiplier(real_multiplier: float) -> Tuple[int, int]:
+    """Decompose a positive real multiplier as ``qm * 2**(shift - 31)``.
+
+    Bit-exact port of TFLite ``QuantizeMultiplier`` (double precision frexp,
+    round half away from zero on the 31-bit mantissa).
+    """
+    if real_multiplier == 0.0:
+        return 0, 0
+    mant, shift = math.frexp(float(real_multiplier))
+    q_fixed = math.floor(mant * (1 << 31) + 0.5)  # mant in [0.5, 1): positive
+    if q_fixed == (1 << 31):
+        q_fixed //= 2
+        shift += 1
+    if shift < -31:  # underflow: result always rounds to zero
+        shift = 0
+        q_fixed = 0
+    if shift > 30:  # overflow guard (TFLite caps; cannot occur in-range here)
+        shift = 30
+        q_fixed = (1 << 31) - 1
+    return int(q_fixed), int(shift)
+
+
+def quantize_multiplier_arr(real_multipliers) -> Tuple[np.ndarray, np.ndarray]:
+    """Vector version: arrays of (qm, shift) as int32 numpy, for per-channel."""
+    qms, shifts = [], []
+    for m in np.asarray(real_multipliers, dtype=np.float64).ravel():
+        q, s = quantize_multiplier(float(m))
+        qms.append(q)
+        shifts.append(s)
+    return (np.asarray(qms, dtype=np.int32), np.asarray(shifts, dtype=np.int32))
+
+
+# --------------------------------------------------------------------------
+# Device-side (traced): exact int32 fixed-point ops
+# --------------------------------------------------------------------------
+def saturating_rounding_doubling_high_mul(x, qm):
+    """SRDHM(x, qm) for int32 ``x`` and positive int32 ``qm`` (broadcastable).
+
+    Computes round((x * qm) / 2**31) with half-away-from-zero rounding using
+    only 32-bit lanes: |x| * qm is formed as a 63-bit product from 16-bit
+    limbs with explicit carry propagation.
+    """
+    x = jnp.asarray(x, jnp.int32)
+    qm = jnp.asarray(qm, jnp.int32)
+    neg = x < 0
+
+    # |x| as uint32 (correct even for INT32_MIN via two's complement negate).
+    ux = x.astype(jnp.uint32)
+    ua = jnp.where(neg, (~ux) + jnp.uint32(1), ux)
+    ub = qm.astype(jnp.uint32)  # qm > 0
+
+    ah, al = ua >> 16, ua & jnp.uint32(0xFFFF)
+    bh, bl = ub >> 16, ub & jnp.uint32(0xFFFF)
+
+    ll = al * bl                    # < 2**32
+    mid = al * bh + ah * bl         # each < 2**31, sum < 2**32
+    hh = ah * bh                    # <= 2**30
+
+    lo = ll + (mid << 16)
+    carry = (lo < ll).astype(jnp.uint32)
+    hi = hh + (mid >> 16) + carry   # p = hi * 2**32 + lo, p < 2**62
+
+    # round half away from zero on the magnitude:
+    #   result>=0: (p + 2**30)     >> 31
+    #   result<0 : (p + 2**30 - 1) >> 31, then negate
+    nudge = jnp.where(neg, jnp.uint32((1 << 30) - 1), jnp.uint32(1 << 30))
+    lo2 = lo + nudge
+    hi2 = hi + (lo2 < lo).astype(jnp.uint32)
+    mag = ((hi2 << 1) | (lo2 >> 31)).astype(jnp.int32)  # hi2 < 2**30+1
+
+    return jnp.where(neg, -mag, mag)
+
+
+def rounding_divide_by_pot(x, exponent):
+    """round(x / 2**exponent) with half-away-from-zero, exponent >= 0 (int32)."""
+    x = jnp.asarray(x, jnp.int32)
+    exponent = jnp.asarray(exponent, jnp.int32)
+    mask = (jnp.int32(1) << exponent) - jnp.int32(1)
+    remainder = jnp.bitwise_and(x, mask)
+    threshold = (mask >> 1) + (x < 0).astype(jnp.int32)
+    return (x >> exponent) + (remainder > threshold).astype(jnp.int32)
+
+
+def multiply_by_quantized_multiplier(x, qm, shift):
+    """TFLite ``MultiplyByQuantizedMultiplier``: x * qm * 2**(shift-31).
+
+    ``qm``/``shift`` may be scalars or per-channel int32 arrays broadcastable
+    against ``x``.
+    """
+    x = jnp.asarray(x, jnp.int32)
+    shift = jnp.asarray(shift, jnp.int32)
+    left = jnp.maximum(shift, 0)
+    right = jnp.maximum(-shift, 0)
+    return rounding_divide_by_pot(
+        saturating_rounding_doubling_high_mul(x << left, qm), right)

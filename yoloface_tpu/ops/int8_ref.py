@@ -1,0 +1,209 @@
+"""Quantized int8 operators with bit-exact TFLite builtin-kernel semantics.
+
+These are the XLA-level implementations of every op in the yoloface int8
+graph (the TPU-native re-design of the kernels that live in the reference's
+binary runtime library — ``forward_conv2d_integer_SSSA_ch``,
+``forward_mp_integer_INT8``, ``forward_eltwise_integer_INT8``,
+``forward_concat``; see headers under
+``/root/reference/stm32/Middlewares/ST/AI/Inc/layers_*.h``).
+
+Design notes (TPU-first):
+  * Convolutions run with int8 operands and ``preferred_element_type=int32``
+    so XLA can use the MXU's native int8 path; the input zero-point term is
+    folded into the bias (exact, since TFLite SAME padding is equivalent to
+    padding with the input zero-point and subtracting it everywhere).
+  * Requantization uses :mod:`yoloface_tpu.core.fixedpoint` — exact gemmlowp
+    arithmetic in 32-bit lanes, fully fusable elementwise VPU code.
+  * Everything is batched over a leading N dimension and shape-static, so a
+    single jit covers any batch size per compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from yoloface_tpu.core.fixedpoint import multiply_by_quantized_multiplier
+
+INT8_MIN, INT8_MAX = -128, 127
+
+
+def _clamp_to_int8(x):
+    return jnp.clip(x, INT8_MIN, INT8_MAX).astype(jnp.int8)
+
+
+def _same_pad_amounts(in_size: int, stride: int, filt: int) -> Tuple[int, int]:
+    """TFLite/TF 'SAME' padding: floor-before, remainder-after."""
+    out_size = -(-in_size // stride)
+    total = max((out_size - 1) * stride + filt - in_size, 0)
+    before = total // 2
+    return before, total - before
+
+
+def pad_int8(x, paddings: np.ndarray, pad_value: int):
+    """TFLite PAD on a quantized tensor: pads with the tensor's zero-point."""
+    cfg = [(int(lo), int(hi), 0) for lo, hi in paddings]
+    return lax.pad(x, jnp.int8(pad_value), cfg)
+
+
+def conv2d_int8(
+    x,                       # int8 [N,H,W,Ci]
+    weights: np.ndarray,     # int8 [Co,Kh,Kw,Ci]  (TFLite OHWI layout)
+    bias: np.ndarray,        # int32 [Co]
+    *,
+    input_zp: int,
+    output_zp: int,
+    qm: np.ndarray,          # int32 [Co] per-channel quantized multiplier
+    shift: np.ndarray,       # int32 [Co]
+    stride: Tuple[int, int],
+    padding: str,            # "SAME" | "VALID"
+    act_min: int = INT8_MIN,
+    act_max: int = INT8_MAX,
+):
+    """TFLite ``reference_integer_ops::ConvPerChannel``, bit-exact.
+
+    acc = sum_taps (x - input_zp) * w + bias
+        = conv(pad(x, input_zp), w) - input_zp * sum_taps(w) + bias
+    so the zero-point correction folds into a per-channel bias constant and
+    the conv itself runs on raw int8 operands (MXU int8 path).
+    """
+    kh, kw = weights.shape[1], weights.shape[2]
+    if padding == "SAME":
+        ph = _same_pad_amounts(x.shape[1], stride[0], kh)
+        pw = _same_pad_amounts(x.shape[2], stride[1], kw)
+        x = lax.pad(x, jnp.int8(input_zp),
+                    [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0), (0, 0, 0)])
+    acc = lax.conv_general_dilated(
+        x, jnp.asarray(weights),
+        window_strides=stride, padding="VALID",
+        dimension_numbers=("NHWC", "OHWI", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    zp_correction = (weights.astype(np.int64).sum(axis=(1, 2, 3))
+                     * int(input_zp)).astype(np.int32)
+    acc = acc + jnp.asarray(bias - zp_correction, jnp.int32)
+    out = multiply_by_quantized_multiplier(
+        acc, jnp.asarray(qm), jnp.asarray(shift)) + jnp.int32(output_zp)
+    return jnp.clip(out, act_min, act_max).astype(jnp.int8)
+
+
+def depthwise_conv2d_int8(
+    x,                       # int8 [N,H,W,C]
+    weights: np.ndarray,     # int8 [1,Kh,Kw,C]  (TFLite layout, multiplier 1)
+    bias: np.ndarray,        # int32 [C]
+    *,
+    input_zp: int,
+    output_zp: int,
+    qm: np.ndarray,
+    shift: np.ndarray,
+    stride: Tuple[int, int],
+    padding: str,
+    act_min: int = INT8_MIN,
+    act_max: int = INT8_MAX,
+):
+    """TFLite ``reference_integer_ops::DepthwiseConvPerChannel``, bit-exact."""
+    assert weights.shape[0] == 1, "depth_multiplier > 1 not needed by yoloface"
+    c = weights.shape[3]
+    kh, kw = weights.shape[1], weights.shape[2]
+    if padding == "SAME":
+        ph = _same_pad_amounts(x.shape[1], stride[0], kh)
+        pw = _same_pad_amounts(x.shape[2], stride[1], kw)
+        x = lax.pad(x, jnp.int8(input_zp),
+                    [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0), (0, 0, 0)])
+    # lax depthwise: rhs HWIO with I=1, O=C, feature_group_count=C
+    rhs = jnp.asarray(np.transpose(weights, (1, 2, 0, 3)))  # [Kh,Kw,1,C]
+    acc = lax.conv_general_dilated(
+        x, rhs, window_strides=stride, padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.int32,
+    )
+    zp_correction = (weights.astype(np.int64).sum(axis=(0, 1, 2))
+                     * int(input_zp)).astype(np.int32)
+    acc = acc + jnp.asarray(bias - zp_correction, jnp.int32)
+    out = multiply_by_quantized_multiplier(
+        acc, jnp.asarray(qm), jnp.asarray(shift)) + jnp.int32(output_zp)
+    return jnp.clip(out, act_min, act_max).astype(jnp.int8)
+
+
+def leaky_relu_int8(
+    x,
+    *,
+    input_zp: int,
+    output_zp: int,
+    qm_identity: int,
+    shift_identity: int,
+    qm_alpha: int,
+    shift_alpha: int,
+):
+    """TFLite ``reference_ops::QuantizeLeakyRelu``, bit-exact.
+
+    The reference MCU runtime folds this into each conv's 256-entry int8 LUT
+    (``network.c:2900-2921``); on TPU the exact arithmetic is cheaper than a
+    gather, and fuses into the surrounding elementwise code.
+    """
+    v = x.astype(jnp.int32) - jnp.int32(input_zp)
+    pos = multiply_by_quantized_multiplier(
+        v, jnp.int32(qm_identity), jnp.int32(shift_identity))
+    neg = multiply_by_quantized_multiplier(
+        v, jnp.int32(qm_alpha), jnp.int32(shift_alpha))
+    out = jnp.where(v >= 0, pos, neg) + jnp.int32(output_zp)
+    return _clamp_to_int8(out)
+
+
+def maxpool_int8(x, *, filter_hw: Tuple[int, int], stride: Tuple[int, int],
+                 padding: str, act_min: int = INT8_MIN, act_max: int = INT8_MAX):
+    """TFLite MAX_POOL_2D: padded lanes use -128 and thus never win the max,
+    matching the clipped-window semantics of the reference kernel."""
+    if padding == "SAME":
+        ph = _same_pad_amounts(x.shape[1], stride[0], filter_hw[0])
+        pw = _same_pad_amounts(x.shape[2], stride[1], filter_hw[1])
+        pads = [(0, 0), ph, pw, (0, 0)]
+    else:
+        pads = [(0, 0)] * 4
+    out = lax.reduce_window(
+        x, jnp.int8(INT8_MIN), lax.max,
+        window_dimensions=(1, filter_hw[0], filter_hw[1], 1),
+        window_strides=(1, stride[0], stride[1], 1),
+        padding=pads,
+    )
+    return jnp.clip(out, act_min, act_max).astype(jnp.int8)
+
+
+def add_int8(
+    x1, x2,
+    *,
+    zp1: int, zp2: int, zp_out: int,
+    qm1: int, shift1: int,
+    qm2: int, shift2: int,
+    qm_out: int, shift_out: int,
+    left_shift: int = 20,
+    act_min: int = INT8_MIN,
+    act_max: int = INT8_MAX,
+):
+    """TFLite quantized ADD (int8): both inputs are rescaled to a shared
+    (1 << left_shift)-amplified scale, summed, then requantized.  Matches
+    the reference's ``forward_eltwise_integer_INT8``."""
+    v1 = (x1.astype(jnp.int32) - jnp.int32(zp1)) << left_shift
+    v2 = (x2.astype(jnp.int32) - jnp.int32(zp2)) << left_shift
+    s1 = multiply_by_quantized_multiplier(v1, jnp.int32(qm1), jnp.int32(shift1))
+    s2 = multiply_by_quantized_multiplier(v2, jnp.int32(qm2), jnp.int32(shift2))
+    out = multiply_by_quantized_multiplier(
+        s1 + s2, jnp.int32(qm_out), jnp.int32(shift_out)) + jnp.int32(zp_out)
+    return jnp.clip(out, act_min, act_max).astype(jnp.int8)
+
+
+def requantize_int8(x, *, input_zp: int, output_zp: int, qm: int, shift: int):
+    """TFLite QUANTIZE int8->int8 (``reference_ops::Requantize``)."""
+    v = x.astype(jnp.int32) - jnp.int32(input_zp)
+    out = multiply_by_quantized_multiplier(
+        v, jnp.int32(qm), jnp.int32(shift)) + jnp.int32(output_zp)
+    return _clamp_to_int8(out)
+
+
+def concat_int8(xs: Sequence, axis: int):
+    """TFLite int8 CONCATENATION (inputs already share output scale/zp)."""
+    return jnp.concatenate(xs, axis=axis)

@@ -1,0 +1,189 @@
+"""Int8 graph engine: compiles a :class:`GraphDef` into one jitted XLA program.
+
+The TPU-native counterpart of the reference's generated runtime
+(``stm32/X-CUBE-AI/App/network.c:3272-3417``): where the MCU walks a linked
+list of 31 layer structs with a hand-planned activation arena, we lower the
+imported graph once into a single XLA computation — XLA performs memory
+planning, fusion and scheduling (the analogue of
+``network_configure_activations``, ``network.c:2944-3100``).
+
+All requantization parameters are resolved to fixed-point (qm, shift) pairs
+at load time in double precision, exactly like the TFLite kernel-init code,
+then baked into the program as constants.
+
+Public API mirrors the reference's ``ai_network_create / ai_network_run``
+(``network.h:103-213``): ``Int8Engine(graph)`` ≈ create+init,
+``engine(frames)`` ≈ run.  ``engine.run_with_intermediates`` is the analogue
+of the (unused-by-the-reference) X-CUBE-AI network-inspector hooks
+(``ai_network_inspector.h``) and backs the per-layer parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloface_tpu.core.fixedpoint import (quantize_multiplier,
+                                          quantize_multiplier_arr)
+from yoloface_tpu.graph.ir import GraphDef, OpDef
+from yoloface_tpu.ops import int8_ref as ops
+
+
+class Int8Engine:
+    """Executes an imported int8 TFLite graph bit-exactly on TPU via XLA."""
+
+    def __init__(self, graph: GraphDef):
+        self.graph = graph
+        self.input_idx = graph.inputs[0]
+        self.output_idx = graph.outputs[0]
+        self._plan: List[Callable] = [self._lower_op(op) for op in graph.ops]
+        self._jit_cache: Dict[int, Callable] = {}
+
+    # ---------------------------------------------------------------- quant
+    @property
+    def input_qparams(self):
+        return self.graph.tensor(self.input_idx).qparams
+
+    @property
+    def output_qparams(self):
+        return self.graph.tensor(self.output_idx).qparams
+
+    # ------------------------------------------------------------- lowering
+    def _lower_op(self, op: OpDef) -> Callable:
+        g = self.graph
+        t = g.tensor
+        name = op.opname
+        out_idx = op.outputs[0]
+
+        if name == "PAD":
+            data_idx, pad_idx = op.inputs
+            paddings = t(pad_idx).data.astype(np.int64)
+            zp = t(out_idx).qparams.zero_point
+
+            def fn(env, data_idx=data_idx, paddings=paddings, zp=zp):
+                return ops.pad_int8(env[data_idx], paddings, zp)
+
+        elif name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            x_idx, w_idx, b_idx = op.inputs
+            w, b = t(w_idx), t(b_idx)
+            in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
+            s_in = np.float64(in_q.scale)
+            s_w = np.asarray(w.qparams.scales, np.float64)
+            s_out = np.float64(out_q.scale)
+            qm, shift = quantize_multiplier_arr(s_in * s_w / s_out)
+            kw = dict(
+                weights=w.data, bias=b.data.astype(np.int32),
+                input_zp=in_q.zero_point, output_zp=out_q.zero_point,
+                qm=qm, shift=shift,
+                stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
+                padding=op.attrs["padding"],
+            )
+            assert op.attrs["activation"] == "NONE"
+            impl = (ops.conv2d_int8 if name == "CONV_2D"
+                    else ops.depthwise_conv2d_int8)
+
+            def fn(env, x_idx=x_idx, impl=impl, kw=kw):
+                return impl(env[x_idx], **kw)
+
+        elif name == "LEAKY_RELU":
+            (x_idx,) = op.inputs
+            in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
+            alpha = np.float64(op.attrs["alpha"])
+            qm_id, sh_id = quantize_multiplier(
+                np.float64(in_q.scale) / np.float64(out_q.scale))
+            qm_al, sh_al = quantize_multiplier(
+                np.float64(in_q.scale) * alpha / np.float64(out_q.scale))
+            kw = dict(input_zp=in_q.zero_point, output_zp=out_q.zero_point,
+                      qm_identity=qm_id, shift_identity=sh_id,
+                      qm_alpha=qm_al, shift_alpha=sh_al)
+
+            def fn(env, x_idx=x_idx, kw=kw):
+                return ops.leaky_relu_int8(env[x_idx], **kw)
+
+        elif name == "MAX_POOL_2D":
+            (x_idx,) = op.inputs
+            kw = dict(filter_hw=(op.attrs["filter_h"], op.attrs["filter_w"]),
+                      stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
+                      padding=op.attrs["padding"])
+
+            def fn(env, x_idx=x_idx, kw=kw):
+                return ops.maxpool_int8(env[x_idx], **kw)
+
+        elif name == "ADD":
+            a_idx, b_idx = op.inputs
+            q1, q2 = t(a_idx).qparams, t(b_idx).qparams
+            qo = t(out_idx).qparams
+            s1, s2, so = (np.float64(q1.scale), np.float64(q2.scale),
+                          np.float64(qo.scale))
+            left_shift = 20
+            twice_max = 2.0 * max(s1, s2)
+            qm1, sh1 = quantize_multiplier(s1 / twice_max)
+            qm2, sh2 = quantize_multiplier(s2 / twice_max)
+            qmo, sho = quantize_multiplier(
+                twice_max / ((1 << left_shift) * so))
+            kw = dict(zp1=q1.zero_point, zp2=q2.zero_point,
+                      zp_out=qo.zero_point,
+                      qm1=qm1, shift1=sh1, qm2=qm2, shift2=sh2,
+                      qm_out=qmo, shift_out=sho, left_shift=left_shift)
+
+            def fn(env, a_idx=a_idx, b_idx=b_idx, kw=kw):
+                return ops.add_int8(env[a_idx], env[b_idx], **kw)
+
+        elif name == "QUANTIZE":
+            (x_idx,) = op.inputs
+            in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
+            qm, sh = quantize_multiplier(
+                np.float64(in_q.scale) / np.float64(out_q.scale))
+            kw = dict(input_zp=in_q.zero_point, output_zp=out_q.zero_point,
+                      qm=qm, shift=sh)
+
+            def fn(env, x_idx=x_idx, kw=kw):
+                return ops.requantize_int8(env[x_idx], **kw)
+
+        elif name == "CONCATENATION":
+            idxs = list(op.inputs)
+            axis = op.attrs["axis"]
+
+            def fn(env, idxs=idxs, axis=axis):
+                return ops.concat_int8([env[i] for i in idxs], axis)
+
+        else:
+            raise NotImplementedError(f"op {name} not supported")
+
+        fn.out_idx = out_idx  # type: ignore[attr-defined]
+        return fn
+
+    # ------------------------------------------------------------ execution
+    def _forward(self, x, collect: bool = False):
+        env = {self.input_idx: x}
+        for fn in self._plan:
+            env[fn.out_idx] = fn(env)
+        return env if collect else env[self.output_idx]
+
+    def __call__(self, x):
+        """Run the graph on int8 frames [N,56,56,3] -> int8 [N,7,7,18]."""
+        key = x.shape[0]
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                functools.partial(self._forward, collect=False))
+        return self._jit_cache[key](x)
+
+    def run_with_intermediates(self, x) -> Dict[int, np.ndarray]:
+        """Inspector mode: every activation tensor, for parity testing."""
+        env = jax.jit(functools.partial(self._forward, collect=True))(x)
+        return {k: np.asarray(v) for k, v in env.items()}
+
+    # ------------------------------------------------- float-domain helpers
+    def quantize_input(self, frames_f32):
+        """float frames (0..1 domain of the original converter) -> int8."""
+        q = self.input_qparams
+        v = jnp.round(frames_f32 / q.scale) + q.zero_point
+        return jnp.clip(v, -128, 127).astype(jnp.int8)
+
+    def dequantize_output(self, y_int8):
+        q = self.output_qparams
+        return (y_int8.astype(jnp.float32) - q.zero_point) * q.scale
