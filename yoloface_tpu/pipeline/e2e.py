@@ -1,0 +1,89 @@
+"""Fused end-to-end face-detection pipeline: one jit from camera frames to boxes.
+
+The TPU-native equivalent of the reference's per-frame superloop
+(``stm32/User/main.c:42-54``: GetImage → resize → prepare → aiRun →
+post_process), batched over N frames and compiled as a single XLA program so
+preprocessing, the int8 network, dequantize/decode and NMS all fuse — no
+host round-trips between stages.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloface_tpu.pipeline import head as head_lib
+from yoloface_tpu.pipeline import preprocess
+from yoloface_tpu.pipeline.head import HeadConfig
+from yoloface_tpu.runtime.engine import Int8Engine
+
+
+class FacePipeline:
+    """Batched camera-frames → detections pipeline around an Int8Engine."""
+
+    def __init__(self, engine: Int8Engine,
+                 head_config: Optional[HeadConfig] = None):
+        self.engine = engine
+        self.head_config = head_config or HeadConfig()
+        oq = engine.output_qparams
+        self._out_scale = float(oq.scale)
+        self._out_zp = int(oq.zero_point)
+        self._jit_cache: Dict[tuple, callable] = {}
+
+    # ------------------------------------------------------------- tracing
+    def _detect_from_int8(self, x_int8):
+        y = self.engine._forward(x_int8)
+        boxes, conf, _cls = head_lib.decode(
+            y, scale=self._out_scale, zero_point=self._out_zp,
+            cfg=self.head_config)
+        boxes = head_lib.clamp_boxes(boxes)
+        b, s, v = head_lib.select_detections(boxes, conf, self.head_config)
+        return {"boxes": b, "scores": s, "valid": v,
+                "count": jnp.sum(v, axis=-1).astype(jnp.int32)}
+
+    def _detect_from_rgb565(self, frames_u16):
+        return self._detect_from_int8(
+            preprocess.rgb565_to_int8_input(frames_u16))
+
+    def _get(self, kind: str, batch: int):
+        key = (kind, batch)
+        if key not in self._jit_cache:
+            fn = (self._detect_from_rgb565 if kind == "rgb565"
+                  else self._detect_from_int8)
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # -------------------------------------------------------------- public
+    def detect_rgb565(self, frames) -> Dict[str, np.ndarray]:
+        """uint16 RGB565 camera frames [N,112,112] -> detections dict.
+
+        Fused analogue of resize_rgb565…+prepare_yolo_data+aiRun+post_process.
+        Keys: boxes [N,K,4] xyxy in the 56x56 frame, scores [N,K],
+        valid [N,K] bool, count [N].
+        """
+        frames = np.ascontiguousarray(frames)
+        return jax.tree.map(np.asarray,
+                            self._get("rgb565", frames.shape[0])(frames))
+
+    def detect_int8(self, x_int8) -> Dict[str, np.ndarray]:
+        """int8 network inputs [N,56,56,3] -> detections dict."""
+        return jax.tree.map(np.asarray,
+                            self._get("int8", x_int8.shape[0])(x_int8))
+
+    # device-resident variants (no host transfer), for benchmarking/serving
+    def detect_rgb565_device(self, frames):
+        return self._get("rgb565", frames.shape[0])(frames)
+
+    def detect_int8_device(self, x_int8):
+        return self._get("int8", x_int8.shape[0])(x_int8)
+
+
+def load_pipeline(tflite_path: str,
+                  head_config: Optional[HeadConfig] = None) -> FacePipeline:
+    """Convenience: path to int8 .tflite -> ready FacePipeline."""
+    from yoloface_tpu.io.tflite_import import load_tflite
+    return FacePipeline(Int8Engine(load_tflite(tflite_path)), head_config)

@@ -1,0 +1,127 @@
+"""On-device YOLO head: dequantize, grid decode, confidence filter, NMS.
+
+Moves the reference's host-side / C post-processing onto the TPU inside the
+same jit as inference:
+
+  * decode constants and ordering replicate ``tflite_prediction.py:43-57``
+    and the firmware ``post_process`` (``yoloface.c:105-175``): grid 7,
+    stride 8, anchors [9,14] [12,17] [22,21], dequant
+    ``(q + 15) * 0.14218327403068542``, cx = (sigmoid+col)*8, w = exp*anchor;
+  * IoU NMS replicates ``yoloface_test.py:148-199`` (the +1-pixel area
+    convention) as a fixed-shape O(K^2) greedy pass — data-dependent box
+    counts become a validity mask so the whole head stays jit-compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_ANCHORS = ((9.0, 14.0), (12.0, 17.0), (22.0, 21.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    grid: int = 7
+    stride: int = 8
+    anchors: Tuple[Tuple[float, float], ...] = DEFAULT_ANCHORS
+    conf_threshold: float = 0.7           # yoloface.c:123
+    iou_threshold: float = 0.5
+    max_detections: int = 16              # fixed-shape NMS capacity
+    apply_nms: bool = True
+
+    @property
+    def num_cells(self) -> int:
+        return self.grid * self.grid * len(self.anchors)
+
+
+def decode(y_int8, *, scale: float, zero_point: int,
+           cfg: HeadConfig = HeadConfig()):
+    """int8 head output [N,G,G,A*6] -> (boxes_xyxy [N,C,4], conf [N,C], cls [N,C]).
+
+    C = G*G*A, flattened in (anchor, row, col) order like the reference
+    predictor's ``transpose([2,0,1,3])``.
+    """
+    n = y_int8.shape[0]
+    g = cfg.grid
+    a = len(cfg.anchors)
+    t = (y_int8.astype(jnp.float32) - zero_point) * scale
+    t = t.reshape(n, g, g, a, 6).transpose(0, 3, 1, 2, 4)  # [N,A,G,G,6]
+
+    rows = jnp.arange(g, dtype=jnp.float32).reshape(1, 1, g, 1)
+    cols = jnp.arange(g, dtype=jnp.float32).reshape(1, 1, 1, g)
+    anchors = jnp.asarray(cfg.anchors, jnp.float32)        # [A,2]
+    aw = anchors[:, 0].reshape(1, a, 1, 1)
+    ah = anchors[:, 1].reshape(1, a, 1, 1)
+
+    cx = (jax_sigmoid(t[..., 0]) + cols) * cfg.stride
+    cy = (jax_sigmoid(t[..., 1]) + rows) * cfg.stride
+    w = jnp.exp(t[..., 2]) * aw
+    h = jnp.exp(t[..., 3]) * ah
+    conf = jax_sigmoid(t[..., 4])
+    cls = jax_sigmoid(t[..., 5])
+
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                      axis=-1)
+    c = cfg.num_cells
+    return (boxes.reshape(n, c, 4), conf.reshape(n, c), cls.reshape(n, c))
+
+
+def jax_sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def _iou_matrix(boxes):
+    """Pairwise IoU [K,K] with the reference's +1-pixel convention
+    (yoloface_test.py:166-196)."""
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    inter = w * h
+    return inter / (area[:, None] + area[None, :] - inter)
+
+
+def select_detections(boxes, conf, cfg: HeadConfig = HeadConfig()):
+    """Threshold + top-K + (optional) greedy NMS, all fixed-shape.
+
+    Returns (boxes [N,K,4], scores [N,K], valid [N,K] bool); invalid slots
+    carry zeros.  Greedy NMS: a box survives iff no higher-scoring surviving
+    box overlaps it above the IoU threshold — computed as a K-step masked
+    scan, equivalent to the reference's while-loop NMS for K candidates.
+    """
+    k = min(cfg.max_detections, conf.shape[-1])
+    passed = conf >= cfg.conf_threshold
+    scores = jnp.where(passed, conf, 0.0)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    valid = top_scores > 0.0
+
+    if cfg.apply_nms:
+        def nms_one(b, v):
+            iou = _iou_matrix(b)
+            # keep[i] = valid and no higher-scoring kept box overlaps it.
+            # top_k already sorted by score; unrolled over fixed (small) K.
+            keep = v
+            for i in range(1, k):
+                over = (iou[i, :i] > cfg.iou_threshold) & keep[:i]
+                keep = keep.at[i].set(keep[i] & ~jnp.any(over))
+            return keep
+
+        keep = jax.vmap(nms_one)(top_boxes, valid)
+        valid = valid & keep
+    top_boxes = jnp.where(valid[..., None], top_boxes, 0.0)
+    top_scores = jnp.where(valid, top_scores, 0.0)
+    return top_boxes, top_scores, valid
+
+
+def clamp_boxes(boxes, limit: float = 55.0):
+    """Clamp to the 56x56 frame like the firmware (yoloface.c:143-147)."""
+    return jnp.clip(boxes, 0.0, limit)

@@ -40,8 +40,24 @@ class Int8Engine:
         self.graph = graph
         self.input_idx = graph.inputs[0]
         self.output_idx = graph.outputs[0]
+        in_t = graph.tensor(self.input_idx)
+        if in_t.qparams is None or in_t.dtype != np.dtype(np.int8):
+            raise ValueError(
+                f"Int8Engine requires a full-int8 quantized graph; input "
+                f"tensor {in_t.name!r} is {in_t.dtype} with qparams="
+                f"{in_t.qparams}. For float graphs use the FP32 model path "
+                f"(yoloface_tpu.models).")
+        self.input_shape = tuple(in_t.shape[1:])  # without batch
         self._plan: List[Callable] = [self._lower_op(op) for op in graph.ops]
         self._jit_cache: Dict[int, Callable] = {}
+
+    def _check_input(self, x):
+        if x.ndim != len(self.input_shape) + 1 or tuple(x.shape[1:]) != self.input_shape:
+            raise ValueError(
+                f"expected input [N,{','.join(map(str, self.input_shape))}], "
+                f"got {tuple(x.shape)}")
+        if x.dtype != np.int8:
+            raise ValueError(f"expected int8 input, got {x.dtype}")
 
     # ---------------------------------------------------------------- quant
     @property
@@ -166,6 +182,7 @@ class Int8Engine:
 
     def __call__(self, x):
         """Run the graph on int8 frames [N,56,56,3] -> int8 [N,7,7,18]."""
+        self._check_input(x)
         key = x.shape[0]
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
