@@ -117,7 +117,12 @@ class YoloFace(nn.Module):
 
         conv15 = ConvBNLeaky(40, kernel=1, name="conv15")(route2, train)
         conv16 = DepthwiseSeparable(40, 32, relu=True, name="conv16")(conv15, train)
-        head = nn.Conv(18, (1, 1), use_bias=True, name="conv17")(conv16)
+        # Head conv: conv (no bias) + BN, no activation — matches the Keras
+        # model the int8 graph was converted from (yolo_conv2d_23 = 648
+        # params in `tensorflow/output.txt:64`; the PyTorch twin uses
+        # bias+no-BN instead, yoloface.py:121 — the Keras layout is the one
+        # that quantizes to the reference graph).
+        head = ConvBNLeaky(18, kernel=1, relu=False, name="conv17")(conv16, train)
         return head
 
 
