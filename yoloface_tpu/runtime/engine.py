@@ -30,13 +30,21 @@ import numpy as np
 from yoloface_tpu.core.fixedpoint import (quantize_multiplier,
                                           quantize_multiplier_arr)
 from yoloface_tpu.graph.ir import GraphDef, OpDef
+from yoloface_tpu.ops import int8_fast as fast_ops
 from yoloface_tpu.ops import int8_ref as ops
 
 
 class Int8Engine:
     """Executes an imported int8 TFLite graph bit-exactly on TPU via XLA."""
 
-    def __init__(self, graph: GraphDef):
+    def __init__(self, graph: GraphDef, mode: str = "exact"):
+        """mode: "exact" = bit-exact gemmlowp fixed-point requantization
+        (the parity oracle); "fast" = float32 requantization (~2x faster;
+        diverges from exact by the same class of rounding drift as TFLite's
+        own optimized backends vs its reference kernels — serving mode)."""
+        if mode not in ("exact", "fast"):
+            raise ValueError(f"unknown engine mode {mode!r}")
+        self.mode = mode
         self.graph = graph
         self.input_idx = graph.inputs[0]
         self.output_idx = graph.outputs[0]
@@ -90,17 +98,22 @@ class Int8Engine:
             s_in = np.float64(in_q.scale)
             s_w = np.asarray(w.qparams.scales, np.float64)
             s_out = np.float64(out_q.scale)
-            qm, shift = quantize_multiplier_arr(s_in * s_w / s_out)
             kw = dict(
                 weights=w.data, bias=b.data.astype(np.int32),
                 input_zp=in_q.zero_point, output_zp=out_q.zero_point,
-                qm=qm, shift=shift,
                 stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
                 padding=op.attrs["padding"],
             )
             assert op.attrs["activation"] == "NONE"
-            impl = (ops.conv2d_int8 if name == "CONV_2D"
-                    else ops.depthwise_conv2d_int8)
+            if self.mode == "exact":
+                kw["qm"], kw["shift"] = quantize_multiplier_arr(
+                    s_in * s_w / s_out)
+                impl = (ops.conv2d_int8 if name == "CONV_2D"
+                        else ops.depthwise_conv2d_int8)
+            else:
+                kw["scale"] = (s_in * s_w / s_out).astype(np.float32)
+                impl = (fast_ops.conv2d_int8_fast if name == "CONV_2D"
+                        else fast_ops.depthwise_conv2d_int8_fast)
 
             def fn(env, x_idx=x_idx, impl=impl, kw=kw):
                 return impl(env[x_idx], **kw)
@@ -109,16 +122,24 @@ class Int8Engine:
             (x_idx,) = op.inputs
             in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
             alpha = np.float64(op.attrs["alpha"])
-            qm_id, sh_id = quantize_multiplier(
-                np.float64(in_q.scale) / np.float64(out_q.scale))
-            qm_al, sh_al = quantize_multiplier(
-                np.float64(in_q.scale) * alpha / np.float64(out_q.scale))
-            kw = dict(input_zp=in_q.zero_point, output_zp=out_q.zero_point,
-                      qm_identity=qm_id, shift_identity=sh_id,
-                      qm_alpha=qm_al, shift_alpha=sh_al)
+            ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
+            if self.mode == "exact":
+                qm_id, sh_id = quantize_multiplier(ratio)
+                qm_al, sh_al = quantize_multiplier(ratio * alpha)
+                kw = dict(input_zp=in_q.zero_point,
+                          output_zp=out_q.zero_point,
+                          qm_identity=qm_id, shift_identity=sh_id,
+                          qm_alpha=qm_al, shift_alpha=sh_al)
+                impl = ops.leaky_relu_int8
+            else:
+                kw = dict(input_zp=in_q.zero_point,
+                          output_zp=out_q.zero_point,
+                          scale_identity=np.float32(ratio),
+                          scale_alpha=np.float32(ratio * alpha))
+                impl = fast_ops.leaky_relu_int8_fast
 
-            def fn(env, x_idx=x_idx, kw=kw):
-                return ops.leaky_relu_int8(env[x_idx], **kw)
+            def fn(env, x_idx=x_idx, impl=impl, kw=kw):
+                return impl(env[x_idx], **kw)
 
         elif name == "MAX_POOL_2D":
             (x_idx,) = op.inputs
@@ -135,30 +156,45 @@ class Int8Engine:
             qo = t(out_idx).qparams
             s1, s2, so = (np.float64(q1.scale), np.float64(q2.scale),
                           np.float64(qo.scale))
-            left_shift = 20
-            twice_max = 2.0 * max(s1, s2)
-            qm1, sh1 = quantize_multiplier(s1 / twice_max)
-            qm2, sh2 = quantize_multiplier(s2 / twice_max)
-            qmo, sho = quantize_multiplier(
-                twice_max / ((1 << left_shift) * so))
-            kw = dict(zp1=q1.zero_point, zp2=q2.zero_point,
-                      zp_out=qo.zero_point,
-                      qm1=qm1, shift1=sh1, qm2=qm2, shift2=sh2,
-                      qm_out=qmo, shift_out=sho, left_shift=left_shift)
+            if self.mode == "exact":
+                left_shift = 20
+                twice_max = 2.0 * max(s1, s2)
+                qm1, sh1 = quantize_multiplier(s1 / twice_max)
+                qm2, sh2 = quantize_multiplier(s2 / twice_max)
+                qmo, sho = quantize_multiplier(
+                    twice_max / ((1 << left_shift) * so))
+                kw = dict(zp1=q1.zero_point, zp2=q2.zero_point,
+                          zp_out=qo.zero_point,
+                          qm1=qm1, shift1=sh1, qm2=qm2, shift2=sh2,
+                          qm_out=qmo, shift_out=sho, left_shift=left_shift)
+                impl = ops.add_int8
+            else:
+                kw = dict(zp1=q1.zero_point, zp2=q2.zero_point,
+                          zp_out=qo.zero_point,
+                          scale1=np.float32(s1 / so),
+                          scale2=np.float32(s2 / so))
+                impl = fast_ops.add_int8_fast
 
-            def fn(env, a_idx=a_idx, b_idx=b_idx, kw=kw):
-                return ops.add_int8(env[a_idx], env[b_idx], **kw)
+            def fn(env, a_idx=a_idx, b_idx=b_idx, impl=impl, kw=kw):
+                return impl(env[a_idx], env[b_idx], **kw)
 
         elif name == "QUANTIZE":
             (x_idx,) = op.inputs
             in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
-            qm, sh = quantize_multiplier(
-                np.float64(in_q.scale) / np.float64(out_q.scale))
-            kw = dict(input_zp=in_q.zero_point, output_zp=out_q.zero_point,
-                      qm=qm, shift=sh)
+            ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
+            if self.mode == "exact":
+                qm, sh = quantize_multiplier(ratio)
+                kw = dict(input_zp=in_q.zero_point,
+                          output_zp=out_q.zero_point, qm=qm, shift=sh)
+                impl = ops.requantize_int8
+            else:
+                kw = dict(input_zp=in_q.zero_point,
+                          output_zp=out_q.zero_point,
+                          scale=np.float32(ratio))
+                impl = fast_ops.requantize_int8_fast
 
-            def fn(env, x_idx=x_idx, kw=kw):
-                return ops.requantize_int8(env[x_idx], **kw)
+            def fn(env, x_idx=x_idx, impl=impl, kw=kw):
+                return impl(env[x_idx], **kw)
 
         elif name == "CONCATENATION":
             idxs = list(op.inputs)
