@@ -38,11 +38,19 @@ class Int8Engine:
     """Executes an imported int8 TFLite graph bit-exactly on TPU via XLA."""
 
     def __init__(self, graph: GraphDef, mode: str = "exact"):
-        """mode: "exact" = bit-exact gemmlowp fixed-point requantization
-        (the parity oracle); "fast" = float32 requantization (~2x faster;
-        diverges from exact by the same class of rounding drift as TFLite's
-        own optimized backends vs its reference kernels — serving mode)."""
-        if mode not in ("exact", "fast"):
+        """mode:
+          * "exact" — XLA ops, bit-exact gemmlowp fixed-point requantization
+            (the parity oracle);
+          * "fast" — XLA ops, float32 requantization (~2x faster; diverges
+            from exact by the same class of rounding drift as TFLite's own
+            optimized backends vs its reference kernels);
+          * "pallas" — Pallas TPU kernels in [C,H,W,N] layout with fused
+            conv+leaky, float requant (bit-identical to "fast"; the serving
+            hot path, ~4-5x faster convs than XLA);
+          * "pallas_exact" — same kernels with fixed-point requant
+            (bit-identical to "exact").
+        """
+        if mode not in ("exact", "fast", "pallas", "pallas_exact"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.mode = mode
         self.graph = graph
@@ -56,7 +64,11 @@ class Int8Engine:
                 f"{in_t.qparams}. For float graphs use the FP32 model path "
                 f"(yoloface_tpu.models).")
         self.input_shape = tuple(in_t.shape[1:])  # without batch
-        self._plan: List[Callable] = [self._lower_op(op) for op in graph.ops]
+        if mode.startswith("pallas"):
+            from yoloface_tpu.runtime.pallas_plan import build_pallas_plan
+            self._plan = build_pallas_plan(graph, exact=mode.endswith("exact"))
+        else:
+            self._plan = [self._lower_op(op) for op in graph.ops]
         self._jit_cache: Dict[int, Callable] = {}
 
     def _check_input(self, x):
@@ -211,10 +223,19 @@ class Int8Engine:
 
     # ------------------------------------------------------------ execution
     def _forward(self, x, collect: bool = False):
+        chwn = self.mode.startswith("pallas")
+        if chwn:
+            x = jnp.transpose(x, (3, 1, 2, 0))  # NHWC -> CHWN
         env = {self.input_idx: x}
         for fn in self._plan:
             env[fn.out_idx] = fn(env)
-        return env if collect else env[self.output_idx]
+        if collect:
+            if chwn:
+                env = {k: jnp.transpose(v, (3, 1, 2, 0))
+                       for k, v in env.items()}
+            return env
+        out = env[self.output_idx]
+        return jnp.transpose(out, (3, 1, 2, 0)) if chwn else out
 
     def __call__(self, x):
         """Run the graph on int8 frames [N,56,56,3] -> int8 [N,7,7,18]."""

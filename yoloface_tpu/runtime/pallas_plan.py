@@ -1,0 +1,256 @@
+"""Graph lowering onto the Pallas TPU kernels (engine modes "pallas[_exact]").
+
+Consumes the same :class:`GraphDef` as the XLA lowering but plans in the
+``[C, H, W, N]`` activation layout of :mod:`yoloface_tpu.kernels.pallas_int8`
+and runs a single peephole fusion pass: a CONV/DW whose output feeds exactly
+one LEAKY_RELU gets the activation folded into its kernel (one HBM
+round-trip saved per conv — the same folding the reference's codegen does
+with its per-conv int8 LUTs, ``network.c:2900-2921``).
+
+Non-conv ops (pad, pool, add, quantize, concat) stay as XLA elementwise /
+reduce-window code on the CHWN layout, where XLA has no channel-padding
+penalty; XLA also fuses them into adjacent kernels' prologues/epilogues
+where profitable.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Callable, List
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from yoloface_tpu.core.fixedpoint import (quantize_multiplier,
+                                          quantize_multiplier_arr)
+from yoloface_tpu.graph.ir import GraphDef, OpDef
+from yoloface_tpu.kernels import pallas_int8 as pk
+from yoloface_tpu.ops import int8_fast as fast_ops
+from yoloface_tpu.ops import int8_ref as ref_ops
+from yoloface_tpu.ops.int8_ref import _same_pad_amounts
+
+
+def _requant_spec(s_in, s_w, s_out, zp_out, exact) -> pk.RequantSpec:
+    eff = np.float64(s_in) * np.asarray(s_w, np.float64) / np.float64(s_out)
+    qm = shift = None
+    if exact:
+        qm, shift = quantize_multiplier_arr(eff)
+    return pk.RequantSpec(zp_out=zp_out, scale=eff.astype(np.float32),
+                          qm=qm, shift=shift, exact=exact)
+
+
+def _leaky_spec(graph: GraphDef, leaky_op: OpDef, exact) -> pk.LeakySpec:
+    in_q = graph.tensor(leaky_op.inputs[0]).qparams
+    out_q = graph.tensor(leaky_op.outputs[0]).qparams
+    alpha = np.float64(leaky_op.attrs["alpha"])
+    ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
+    kw = dict(zp_in=in_q.zero_point, zp_out=out_q.zero_point,
+              s_id=ratio, s_al=ratio * alpha, exact=exact)
+    if exact:
+        kw["qm_id"], kw["sh_id"] = quantize_multiplier(ratio)
+        kw["qm_al"], kw["sh_al"] = quantize_multiplier(ratio * alpha)
+    return pk.LeakySpec(**kw)
+
+
+def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
+    t = graph.tensor
+    # tensor -> number of consuming ops (plus graph outputs)
+    uses = Counter()
+    for op in graph.ops:
+        for i in op.inputs:
+            if i >= 0:
+                uses[i] += 1
+    for i in graph.outputs:
+        uses[i] += 1
+    # map: conv op index -> fused leaky op (or None); leaky ops absorbed
+    ops_by_out = {op.outputs[0]: op for op in graph.ops}
+    fused_leaky = {}
+    absorbed = set()
+    for op in graph.ops:
+        if op.opname == "LEAKY_RELU":
+            src = ops_by_out.get(op.inputs[0])
+            if (src is not None
+                    and src.opname in ("CONV_2D", "DEPTHWISE_CONV_2D")
+                    and uses[op.inputs[0]] == 1):
+                fused_leaky[src.index] = op
+                absorbed.add(op.index)
+
+    plan: List[Callable] = []
+    for op in graph.ops:
+        if op.index in absorbed:
+            continue
+        name = op.opname
+        out_idx = op.outputs[0]
+        leaky_op = fused_leaky.get(op.index)
+        if leaky_op is not None:
+            out_idx = leaky_op.outputs[0]
+
+        if name == "PAD":
+            data_idx, pad_idx = op.inputs
+            # NHWC paddings [(n),(h),(w),(c)] -> CHWN dims (1, 2)
+            p = t(pad_idx).data.astype(int)
+            zp = t(op.outputs[0]).qparams.zero_point
+            cfg = [(0, 0, 0), (p[1][0], p[1][1], 0), (p[2][0], p[2][1], 0),
+                   (0, 0, 0)]
+
+            def fn(env, data_idx=data_idx, cfg=cfg, zp=zp):
+                return lax.pad(env[data_idx], jnp.int8(zp), cfg)
+
+        elif name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            x_idx, w_idx, b_idx = op.inputs
+            w, b = t(w_idx), t(b_idx)
+            in_q = t(x_idx).qparams
+            out_q = t(op.outputs[0]).qparams
+            requant = _requant_spec(in_q.scale, w.qparams.scales,
+                                    out_q.scale, out_q.zero_point, exact)
+            leaky = (None if leaky_op is None
+                     else _leaky_spec(graph, leaky_op, exact))
+            stride = (op.attrs["stride_h"], op.attrs["stride_w"])
+            padding = op.attrs["padding"]
+            in_h, in_w = t(x_idx).shape[1], t(x_idx).shape[2]
+            out_h, out_w = t(op.outputs[0]).shape[1], t(op.outputs[0]).shape[2]
+            zp_in = in_q.zero_point
+
+            if name == "CONV_2D":
+                wd = w.data  # [Co, Kh, Kw, Ci]
+                kh, kw_ = wd.shape[1], wd.shape[2]
+                bias_eff = (b.data.astype(np.int64)
+                            - zp_in * wd.astype(np.int64).sum((1, 2, 3))
+                            ).astype(np.int32)
+                if kh == kw_ == 1:
+                    w_io = np.ascontiguousarray(
+                        wd.reshape(wd.shape[0], wd.shape[3]).T)
+                    assert stride == (1, 1)
+
+                    def fn(env, x_idx=x_idx, w_io=w_io, bias=bias_eff,
+                           requant=requant, leaky=leaky):
+                        return pk.conv1x1(env[x_idx], w_io, bias, requant,
+                                          leaky)
+                else:
+                    w_oihw = np.ascontiguousarray(wd.transpose(0, 3, 1, 2))
+                    pads = None
+                    if padding == "SAME":
+                        ph = _same_pad_amounts(in_h, stride[0], kh)
+                        pw = _same_pad_amounts(in_w, stride[1], kw_)
+                        pads = [(0, 0, 0), (ph[0], ph[1], 0),
+                                (pw[0], pw[1], 0), (0, 0, 0)]
+
+                    def fn(env, x_idx=x_idx, w_oihw=w_oihw, bias=bias_eff,
+                           requant=requant, leaky=leaky, stride=stride,
+                           pads=pads, out_hw=(out_h, out_w), zp_in=zp_in):
+                        x = env[x_idx]
+                        if pads is not None:
+                            x = lax.pad(x, jnp.int8(zp_in), pads)
+                        return pk.conv3x3(x, w_oihw, bias, requant,
+                                          stride=stride[0], out_hw=out_hw,
+                                          leaky=leaky)
+            else:  # DEPTHWISE_CONV_2D
+                wd = w.data  # [1, Kh, Kw, C]
+                c = wd.shape[3]
+                bias_eff = (b.data.astype(np.int64)
+                            - zp_in * wd.astype(np.int64).sum((0, 1, 2))
+                            ).astype(np.int32)
+                w_c33 = np.ascontiguousarray(
+                    wd[0].transpose(2, 0, 1))  # [C,3,3]
+                pads = None
+                if padding == "SAME":
+                    ph = _same_pad_amounts(in_h, stride[0], 3)
+                    pw = _same_pad_amounts(in_w, stride[1], 3)
+                    pads = [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0),
+                            (0, 0, 0)]
+
+                def fn(env, x_idx=x_idx, w_c33=w_c33, bias=bias_eff,
+                       requant=requant, leaky=leaky, stride=stride,
+                       pads=pads, out_hw=(out_h, out_w), zp_in=zp_in):
+                    x = env[x_idx]
+                    if pads is not None:
+                        x = lax.pad(x, jnp.int8(zp_in), pads)
+                    return pk.dwconv3x3(x, w_c33, bias, requant,
+                                        stride=stride[0], out_hw=out_hw,
+                                        leaky=leaky)
+
+        elif name == "LEAKY_RELU":
+            # standalone (conv output had other consumers)
+            spec = _leaky_spec(graph, op, exact)
+            x_idx = op.inputs[0]
+
+            def fn(env, x_idx=x_idx, spec=spec):
+                return spec.apply(env[x_idx])
+
+        elif name == "MAX_POOL_2D":
+            (x_idx,) = op.inputs
+            fh, fw = op.attrs["filter_h"], op.attrs["filter_w"]
+            sh, sw = op.attrs["stride_h"], op.attrs["stride_w"]
+            in_h, in_w = t(x_idx).shape[1], t(x_idx).shape[2]
+            if op.attrs["padding"] == "SAME":
+                ph = _same_pad_amounts(in_h, sh, fh)
+                pw = _same_pad_amounts(in_w, sw, fw)
+            else:
+                ph = pw = (0, 0)
+            pads = [(0, 0), ph, pw, (0, 0)]
+
+            def fn(env, x_idx=x_idx, fh=fh, fw=fw, sh=sh, sw=sw, pads=pads):
+                return lax.reduce_window(
+                    env[x_idx], jnp.int8(-128), lax.max,
+                    window_dimensions=(1, fh, fw, 1),
+                    window_strides=(1, sh, sw, 1), padding=pads)
+
+        elif name == "ADD":
+            a_idx, b_idx = op.inputs
+            q1, q2 = t(a_idx).qparams, t(b_idx).qparams
+            qo = t(out_idx).qparams
+            s1, s2, so = (np.float64(q1.scale), np.float64(q2.scale),
+                          np.float64(qo.scale))
+            if exact:
+                left_shift = 20
+                twice_max = 2.0 * max(s1, s2)
+                qm1, sh1 = quantize_multiplier(s1 / twice_max)
+                qm2, sh2 = quantize_multiplier(s2 / twice_max)
+                qmo, sho = quantize_multiplier(
+                    twice_max / ((1 << left_shift) * so))
+                kw = dict(zp1=q1.zero_point, zp2=q2.zero_point,
+                          zp_out=qo.zero_point, qm1=qm1, shift1=sh1,
+                          qm2=qm2, shift2=sh2, qm_out=qmo, shift_out=sho,
+                          left_shift=left_shift)
+                impl = ref_ops.add_int8
+            else:
+                kw = dict(zp1=q1.zero_point, zp2=q2.zero_point,
+                          zp_out=qo.zero_point, scale1=np.float32(s1 / so),
+                          scale2=np.float32(s2 / so))
+                impl = fast_ops.add_int8_fast
+
+            def fn(env, a_idx=a_idx, b_idx=b_idx, impl=impl, kw=kw):
+                return impl(env[a_idx], env[b_idx], **kw)
+
+        elif name == "QUANTIZE":
+            (x_idx,) = op.inputs
+            in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
+            ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
+            if exact:
+                qm, sh = quantize_multiplier(ratio)
+                kw = dict(input_zp=in_q.zero_point,
+                          output_zp=out_q.zero_point, qm=qm, shift=sh)
+                impl = ref_ops.requantize_int8
+            else:
+                kw = dict(input_zp=in_q.zero_point,
+                          output_zp=out_q.zero_point,
+                          scale=np.float32(ratio))
+                impl = fast_ops.requantize_int8_fast
+
+            def fn(env, x_idx=x_idx, impl=impl, kw=kw):
+                return impl(env[x_idx], **kw)
+
+        elif name == "CONCATENATION":
+            idxs = list(op.inputs)
+            assert op.attrs["axis"] == 3  # NHWC channel -> CHWN dim 0
+
+            def fn(env, idxs=idxs):
+                return jnp.concatenate([env[i] for i in idxs], axis=0)
+
+        else:
+            raise NotImplementedError(f"pallas plan: op {name}")
+
+        fn.out_idx = out_idx  # type: ignore[attr-defined]
+        plan.append(fn)
+    return plan
