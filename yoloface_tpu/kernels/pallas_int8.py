@@ -68,7 +68,9 @@ def _stride2_window(xi, dy, dx, ho, wo, nt):
     c, hp, wp, _ = xi.shape
     sl = xi[:, dy:dy + 2 * ho, :, :].reshape(c, ho, 2, wp, nt)[:, :, 0]
     if dx:
-        sl = pltpu.roll(sl, -dx, 2)
+        # left-shift by dx == non-negative roll by wp - dx; wrapped elements
+        # land at indices >= wp - dx, beyond the wo-window we keep
+        sl = pltpu.roll(sl, wp - dx, 2)
     sl = sl[:, :, 0::2, :]
     return sl[:, :, :wo, :]
 
