@@ -1,0 +1,98 @@
+"""Host subsystem tests: protocol wire parity, stream parsing, monitor
+stats, and the end-to-end camera-emulation streamer."""
+
+import io
+
+import numpy as np
+
+from yoloface_tpu.host import protocol
+from yoloface_tpu.host.monitor import MonitorState, run_monitor
+from yoloface_tpu.host.streamer import CameraStreamer, directory_frames
+
+
+def test_encode_matches_firmware_format():
+    """Byte-for-byte format of main.c:44,51 + yoloface.c:148."""
+    boxes = np.array([[10.0, 12.0, 30.0, 40.0]])
+    text = protocol.encode_frame(7, boxes, np.array([0.93]),
+                                 np.array([True]))
+    assert text == (
+        "=== Frame 7 ===\r\n"
+        + "-" * 40 + "\r\n"
+        + "[Face 1] BBox: [20, 24, 60, 80], Conf: 0.93\r\n"
+        + "-" * 40 + "\r\n"
+        + "[INFO] Total faces detected: 1\r\n")
+
+
+def test_roundtrip_encode_parse():
+    boxes = np.array([[5.0, 6.0, 20.0, 25.0], [30.0, 30.0, 50.0, 52.0],
+                      [0.0, 0.0, 0.0, 0.0]])
+    valid = np.array([True, True, False])
+    text = protocol.encode_frame(3, boxes, np.array([0.88, 0.71, 0.0]),
+                                 valid)
+    frame = protocol.parse_frame(text.split("\r\n"))
+    assert frame.number == 3
+    assert frame.total == 2
+    assert len(frame.faces) == 2
+    assert frame.faces[0].x1 == 10 and frame.faces[0].confidence == 0.88
+    assert frame.faces[1].width == 40
+
+
+def test_stream_parser_partial_chunks():
+    """Parser must tolerate arbitrary chunk boundaries like the serial RX
+    thread (main.py:281-311)."""
+    boxes = np.array([[5.0, 6.0, 20.0, 25.0]])
+    text = "".join(protocol.encode_frame(i + 1, boxes, np.array([0.9]),
+                                         np.array([True]))
+                   for i in range(3))
+    parser = protocol.StreamParser()
+    frames = []
+    for i in range(0, len(text), 17):  # awkward 17-byte chunks
+        frames.extend(parser.feed(text[i:i + 17]))
+    assert [f.number for f in frames] == [1, 2, 3]
+    assert all(f.total == 1 for f in frames)
+
+
+def test_monitor_state_and_render():
+    state = MonitorState(history_len=5)
+    boxes = np.array([[5.0, 6.0, 20.0, 25.0]])
+    for i in range(8):
+        text = protocol.encode_frame(i + 1, boxes, np.array([0.9]),
+                                     np.array([True]))
+        state.update(protocol.parse_frame(text.split("\r\n")))
+    assert state.frames == 8
+    assert state.total_faces == 8
+    assert len(state.history) == 5
+    out = state.render()
+    assert "Frame 8: 1 face(s)" in out
+    assert "#1" in out
+    canvas = state.ascii_canvas()
+    assert "#" in canvas
+    assert state.summary()["avg_faces"] == 1.0
+
+
+def test_run_monitor_from_text():
+    boxes = np.array([[5.0, 6.0, 20.0, 25.0]])
+    text = "".join(protocol.encode_frame(i + 1, boxes, np.array([0.9]),
+                                         np.array([True]))
+                   for i in range(4))
+    out = io.StringIO()
+    state = run_monitor([text], render_every=2, out=out)
+    assert state.frames == 4
+    assert "Frame 4" in out.getvalue()
+
+
+def test_camera_streamer_end_to_end(int8_graph):
+    """Directory frames -> double-buffered streamer -> pipeline ->
+    protocol -> parsed frames; faces must be found on the real dataset."""
+    from yoloface_tpu.pipeline.e2e import FacePipeline
+    from yoloface_tpu.runtime.engine import Int8Engine
+    pipe = FacePipeline(Int8Engine(int8_graph))
+    src = directory_frames("/root/reference/yoloface/small_dataset", 8)
+    texts = []
+    stats = CameraStreamer(pipe, src).run(2, on_frame=texts.append)
+    assert stats["frames"] == 16
+    assert stats["faces"] >= 12  # most dataset images contain one face
+    parser = protocol.StreamParser()
+    frames = [f for t in texts for f in parser.feed(t)]
+    assert len(frames) == 16
+    assert sum(f.total for f in frames) == stats["faces"]

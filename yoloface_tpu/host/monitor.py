@@ -1,0 +1,158 @@
+"""Terminal detection monitor — the host-PC dashboard.
+
+Re-implements the capabilities of the reference's Tkinter GUI
+(`上位机/IAP/main.py`: FaceDetectionMonitor) for a headless environment:
+protocol-stream parsing, per-frame face table, rolling history, session
+statistics, and an ASCII render of the detection boxes on the 112x112
+display space (the GUI's "模拟显示" canvas, main.py:474-552).  Sources:
+live in-process camera emulation, a protocol text file, or stdin (the
+serial-port analogue).
+
+Run: ``python -m yoloface_tpu.host.monitor --source synthetic --batches 4``
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import sys
+from typing import Deque, Optional
+
+from yoloface_tpu.host import protocol
+
+
+class MonitorState:
+    """Session statistics mirroring the GUI's counters (main.py:36-48,
+    442-472): current faces, total frames, total faces, rolling history."""
+
+    def __init__(self, history_len: int = 50):
+        self.frames = 0
+        self.total_faces = 0
+        self.last_frame: Optional[protocol.Frame] = None
+        self.history: Deque[int] = collections.deque(maxlen=history_len)
+
+    def update(self, frame: protocol.Frame):
+        self.frames += 1
+        self.total_faces += frame.total
+        self.last_frame = frame
+        self.history.append(frame.total)
+
+    # ------------------------------------------------------------- display
+    def face_table(self) -> str:
+        if not self.last_frame or not self.last_frame.faces:
+            return "  (no faces)"
+        rows = [f"  #{f.id}  [{f.x1:3d},{f.y1:3d},{f.x2:3d},{f.y2:3d}]"
+                f"  {f.width:3d}x{f.height:<3d}  conf={f.confidence:.2f}"
+                for f in self.last_frame.faces]
+        return "\n".join(rows)
+
+    def sparkline(self) -> str:
+        """Rolling face-count history as a unicode sparkline (the GUI's
+        matplotlib chart, main.py:448-472)."""
+        if not self.history:
+            return ""
+        blocks = " ▁▂▃▄▅▆▇█"
+        hi = max(max(self.history), 1)
+        return "".join(blocks[min(int(v / hi * 8), 8)] for v in self.history)
+
+    def ascii_canvas(self, w: int = 56, h: int = 28) -> str:
+        """Detection boxes on a w x h character canvas scaled from the
+        112x112 display space."""
+        grid = [[" "] * w for _ in range(h)]
+        if self.last_frame:
+            for f in self.last_frame.faces:
+                x1 = max(0, min(w - 1, f.x1 * w // 112))
+                x2 = max(0, min(w - 1, f.x2 * w // 112))
+                y1 = max(0, min(h - 1, f.y1 * h // 112))
+                y2 = max(0, min(h - 1, f.y2 * h // 112))
+                for x in range(x1, x2 + 1):
+                    grid[y1][x] = grid[y2][x] = "#"
+                for y in range(y1, y2 + 1):
+                    grid[y][x1] = grid[y][x2] = "#"
+        return "\n".join("|" + "".join(row) + "|" for row in grid)
+
+    def render(self) -> str:
+        f = self.last_frame
+        head = (f"Frame {f.number}: {f.total} face(s)"
+                if f else "waiting for frames…")
+        return "\n".join([
+            head,
+            self.face_table(),
+            f"history: {self.sparkline()}",
+            f"session: {self.frames} frames, {self.total_faces} faces total",
+        ])
+
+    def summary(self) -> dict:
+        return {"frames": self.frames, "total_faces": self.total_faces,
+                "avg_faces": (self.total_faces / self.frames
+                              if self.frames else 0.0)}
+
+
+def run_monitor(stream, render_every: int = 1, out=sys.stdout,
+                draw_canvas: bool = False) -> MonitorState:
+    """Consume protocol text chunks from an iterable; render to ``out``."""
+    state = MonitorState()
+    parser = protocol.StreamParser()
+    for chunk in stream:
+        for frame in parser.feed(chunk):
+            state.update(frame)
+            if state.frames % render_every == 0:
+                print(state.render(), file=out)
+                if draw_canvas:
+                    print(state.ascii_canvas(), file=out)
+                print("-" * 40, file=out)
+    return state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="yoloface detection monitor")
+    p.add_argument("--source", default="stdin",
+                   choices=["stdin", "file", "synthetic", "dataset"])
+    p.add_argument("--file", help="protocol text file (--source file)")
+    p.add_argument("--dataset",
+                   default="/root/reference/yoloface/small_dataset")
+    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--render-every", type=int, default=1)
+    p.add_argument("--canvas", action="store_true")
+    p.add_argument("--tflite",
+                   default="/root/reference/yoloface/tflite/yoloface_int8.tflite")
+    args = p.parse_args(argv)
+
+    if args.source == "stdin":
+        state = run_monitor(iter(sys.stdin.readline, ""),
+                            args.render_every, draw_canvas=args.canvas)
+    elif args.source == "file":
+        with open(args.file) as f:
+            state = run_monitor([f.read()], args.render_every,
+                                draw_canvas=args.canvas)
+    else:
+        from yoloface_tpu.host.streamer import (CameraStreamer,
+                                                directory_frames,
+                                                synthetic_frames)
+        from yoloface_tpu.pipeline.e2e import load_pipeline
+        pipe = load_pipeline(args.tflite)
+        src = (synthetic_frames(args.batch_size)
+               if args.source == "synthetic"
+               else directory_frames(args.dataset, args.batch_size))
+        state = MonitorState()
+        parser = protocol.StreamParser()
+
+        def on_frame(text):
+            for frame in parser.feed(text):
+                state.update(frame)
+                if state.frames % args.render_every == 0:
+                    print(state.render())
+                    if args.canvas:
+                        print(state.ascii_canvas())
+                    print("-" * 40)
+
+        stats = CameraStreamer(pipe, src).run(args.batches,
+                                              on_frame=on_frame)
+        print("streamer:", json.dumps(stats))
+    print("summary:", json.dumps(state.summary()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Camera-emulation streamer: continuous batched RGB565 frames -> pipeline.
+
+The host-side analogue of the firmware's capture loop: where the MCU
+double-buffers DCMI lines via DMA (`dcmi.c:170-236`, `OV_Frame.c:88-107`),
+we double-buffer whole batches with a background producer thread feeding a
+bounded queue while the TPU runs the previous batch — dispatch and data
+preparation overlap, no device idle between batches.
+
+Frame sources: an image directory (each image resized to 112x112 RGB565,
+cycled), or a synthetic moving-pattern generator (the ``Picture.c`` baked
+test-image analogue).  Output: detection dicts and/or firmware-protocol text
+(`yoloface_tpu.host.protocol`).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import queue
+import threading
+import time
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from yoloface_tpu.host import protocol
+from yoloface_tpu.pipeline import preprocess
+
+
+def synthetic_frames(batch: int, seed: int = 0) -> Iterator[np.ndarray]:
+    """Endless moving-gradient RGB565 frames [batch,112,112] (camera-free
+    fixture, like the baked 56x56 test image in Picture.c:1)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:112, 0:112]
+    t = 0
+    while True:
+        phase = (t * 7) % 112
+        r = ((xx + phase) % 112 * 2).astype(np.uint8)
+        g = ((yy + phase) % 112 * 2).astype(np.uint8)
+        b = rng.integers(0, 255, (112, 112), dtype=np.int64).astype(np.uint8)
+        rgb = np.stack([r, g, b], axis=-1)
+        yield np.stack([preprocess.encode_rgb565(rgb)] * batch)
+        t += 1
+
+
+def directory_frames(img_dir: str, batch: int) -> Iterator[np.ndarray]:
+    """Cycle a directory of images as 112x112 RGB565 camera frames."""
+    import cv2
+    files = sorted(f for f in os.listdir(img_dir)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not files:
+        raise ValueError(f"no images in {img_dir}")
+    frames = []
+    for f in files:
+        img = cv2.imread(os.path.join(img_dir, f))
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        frames.append(preprocess.encode_rgb565(cv2.resize(img, (112, 112))))
+    for i in itertools.count():
+        sel = [frames[(i * batch + j) % len(frames)] for j in range(batch)]
+        yield np.stack(sel)
+
+
+class CameraStreamer:
+    """Double-buffered producer/consumer around a FacePipeline."""
+
+    def __init__(self, pipeline, source: Iterator[np.ndarray],
+                 queue_depth: int = 2):
+        self.pipeline = pipeline
+        self.source = source
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(queue_depth)
+        self._stop = threading.Event()
+        self._producer: Optional[threading.Thread] = None
+
+    def _produce(self):
+        for frames in self.source:
+            if self._stop.is_set():
+                break
+            self._q.put(frames)
+        self._q.put(None)
+
+    def run(self, n_batches: int,
+            on_frame: Optional[Callable[[str], None]] = None,
+            emit_protocol: bool = True):
+        """Run n_batches through the pipeline.  Returns stats dict; calls
+        ``on_frame(text)`` per frame with protocol text if requested."""
+        self._producer = threading.Thread(target=self._produce, daemon=True)
+        self._producer.start()
+        frame_no = 0
+        total_faces = 0
+        t0 = time.perf_counter()
+        frames_done = 0
+        for _ in range(n_batches):
+            frames = self._q.get()
+            if frames is None:
+                break
+            det = self.pipeline.detect_rgb565(frames)
+            for i in range(frames.shape[0]):
+                frame_no += 1
+                total_faces += int(det["count"][i])
+                if emit_protocol and on_frame is not None:
+                    on_frame(protocol.encode_frame(
+                        frame_no, det["boxes"][i], det["scores"][i],
+                        det["valid"][i]))
+            frames_done += frames.shape[0]
+        dt = time.perf_counter() - t0
+        self._stop.set()
+        return {"frames": frames_done, "faces": total_faces,
+                "seconds": dt,
+                "fps": frames_done / dt if dt > 0 else float("inf")}
+
+    def stop(self):
+        self._stop.set()
