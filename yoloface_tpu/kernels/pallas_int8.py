@@ -66,7 +66,13 @@ def _stride2_window(xi, dy, dx, ho, wo, nt):
     the W offset uses a lane-preserving sublane roll before a stride-2
     slice."""
     c, hp, wp, _ = xi.shape
-    sl = xi[:, dy:dy + 2 * ho, :, :].reshape(c, ho, 2, wp, nt)[:, :, 0]
+    if dy + 2 * ho <= hp:
+        sl = xi[:, dy:dy + 2 * ho, :, :].reshape(c, ho, 2, wp, nt)[:, :, 0]
+    else:
+        # window touches the padded bottom edge: start one row earlier and
+        # take the odd phase (rows dy-1+1+2k == dy+2k)
+        sl = xi[:, dy - 1:dy - 1 + 2 * ho, :, :].reshape(
+            c, ho, 2, wp, nt)[:, :, 1]
     if dx:
         # left-shift by dx == non-negative roll by wp - dx; wrapped elements
         # land at indices >= wp - dx, beyond the wo-window we keep
