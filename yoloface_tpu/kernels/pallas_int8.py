@@ -59,28 +59,6 @@ def _pick_nt(n: int, nt: Optional[int]) -> int:
 
 
 
-def _stride2_window(xi, dy, dx, ho, wo, nt):
-    """xi [C, Hp, Wp, NT] int32 -> [C, ho, wo, NT]: the (dy, dx) tap of a
-    stride-2 3x3 window.  Mosaic supports strided slices only from offset 0,
-    so the H offset uses a contiguous slice + phase reshape (plain dim) and
-    the W offset uses a lane-preserving sublane roll before a stride-2
-    slice."""
-    c, hp, wp, _ = xi.shape
-    if dy + 2 * ho <= hp:
-        sl = xi[:, dy:dy + 2 * ho, :, :].reshape(c, ho, 2, wp, nt)[:, :, 0]
-    else:
-        # window touches the padded bottom edge: start one row earlier and
-        # take the odd phase (rows dy-1+1+2k == dy+2k)
-        sl = xi[:, dy - 1:dy - 1 + 2 * ho, :, :].reshape(
-            c, ho, 2, wp, nt)[:, :, 1]
-    if dx:
-        # left-shift by dx == non-negative roll by wp - dx; wrapped elements
-        # land at indices >= wp - dx, beyond the wo-window we keep
-        sl = pltpu.roll(sl, wp - dx, 2)
-    sl = sl[:, :, 0::2, :]
-    return sl[:, :, :wo, :]
-
-
 # --------------------------------------------------------------------------
 # host-side op param containers
 # --------------------------------------------------------------------------
@@ -206,8 +184,16 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
     nt = _pick_nt(n, nt)
     w_taps = np.asarray(w_c33, np.int32).reshape(c, 9)
 
-    def kernel(xr, wr, br, p1r, p2r, o):
-        xi = xr[:].astype(jnp.int32)
+    # Mosaic supports strided reads on REFS (any offset) but not on loaded
+    # values, so stride-2 kernels stage an int32 copy in VMEM scratch and
+    # read the (dy, dx) windows straight off the scratch ref.
+    def kernel(xr, wr, br, p1r, p2r, o, *scratch):
+        if stride == 2:
+            sref = scratch[0]
+            sref[:] = xr[:].astype(jnp.int32)
+            xi = None
+        else:
+            xi = xr[:].astype(jnp.int32)
         acc = (br[:].reshape(c, 1, 1, 1)
                + jnp.zeros((c, ho, wo, nt), jnp.int32))
         for dy in range(3):
@@ -216,12 +202,15 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
                 if stride == 1:
                     sl = xi[:, dy:dy + ho, dx:dx + wo, :]
                 else:
-                    sl = _stride2_window(xi, dy, dx, ho, wo, nt)
+                    sl = sref[:, dy:min(dy + 2 * ho, hp):2,
+                              dx:min(dx + 2 * wo, wp):2, :]
                 acc = acc + sl * tap
         o[:] = _maybe_leaky(requant.apply_in_kernel(acc, p1r[:], p2r[:]),
                             leaky)
 
     p1, p2 = requant.operands()
+    scratch_shapes = ([pltpu.VMEM((c, hp, wp, nt), jnp.int32)]
+                      if stride == 2 else [])
     return pl.pallas_call(
         kernel,
         grid=(n // nt,),
@@ -234,6 +223,7 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
         out_specs=pl.BlockSpec((c, ho, wo, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
+        scratch_shapes=scratch_shapes,
     )(x_padded, jnp.asarray(w_taps),
       jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), p1, p2)
 
@@ -255,8 +245,13 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
     taps = np.stack([np.asarray(w_oihw[:, :, dy, dx].T, np.int32)
                      for dy in range(kh) for dx in range(kw)])
 
-    def kernel(xr, wr, br, p1r, p2r, o):
-        xi = xr[:].astype(jnp.int32)
+    def kernel(xr, wr, br, p1r, p2r, o, *scratch):
+        if stride == 2:
+            sref = scratch[0]
+            sref[:] = xr[:].astype(jnp.int32)
+            xi = None
+        else:
+            xi = xr[:].astype(jnp.int32)
         acc = (br[:].reshape(co, 1, 1, 1)
                + jnp.zeros((co, ho, wo, nt), jnp.int32))
         for dy in range(kh):
@@ -266,7 +261,8 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                 if stride == 1:
                     sl = xi[:, dy:dy + ho, dx:dx + wo, :]
                 else:
-                    sl = _stride2_window(xi, dy, dx, ho, wo, nt)
+                    sl = sref[:, dy:min(dy + 2 * ho, hp):2,
+                              dx:min(dx + 2 * wo, wp):2, :]
                 acc = acc + lax.dot_general(
                     w_tap, sl, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
@@ -274,6 +270,8 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                             leaky)
 
     p1, p2 = requant.operands()
+    scratch_shapes = ([pltpu.VMEM((ci, hp, wp, nt), jnp.int32)]
+                      if stride == 2 else [])
     return pl.pallas_call(
         kernel,
         grid=(n // nt,),
@@ -287,6 +285,7 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
         out_specs=pl.BlockSpec((co, ho, wo, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((co, ho, wo, n), jnp.int8),
+        scratch_shapes=scratch_shapes,
     )(x_padded, jnp.asarray(taps),
       jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
 
