@@ -45,6 +45,11 @@ from yoloface_tpu.core.fixedpoint import multiply_by_quantized_multiplier
 DEFAULT_NT = 128  # frames per grid step (lane dim)
 
 
+def _interpret_mode() -> bool:
+    """Pallas kernels interpret on CPU (hermetic tests); compile on TPU."""
+    return jax.default_backend() == "cpu"
+
+
 def _pick_nt(n: int, nt: Optional[int]) -> int:
     """Batch tile: DEFAULT_NT when divisible, else the largest power-of-two
     divisor (small batches run as one grid step)."""
@@ -166,8 +171,19 @@ def conv1x1(x, w_io: np.ndarray, bias_eff: np.ndarray, requant: RequantSpec,
         out_specs=pl.BlockSpec((co, h, w, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((co, h, w, n), jnp.int8),
+        interpret=_interpret_mode(),
     )(jnp.asarray(w_io), x,
       jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
+
+
+
+def phase_split(x_padded):
+    """XLA-side stride-2 phase decomposition of [C, Hp, Wp, N]: returns the
+    four polyphase components x[:, py::2, px::2, :].  Strided gathers are
+    cheap in XLA/HBM but unsupported inside Mosaic kernels — the stride-2
+    conv kernels consume these contiguous phases instead."""
+    return tuple(x_padded[:, py::2, px::2, :]
+                 for py in (0, 1) for px in (0, 1))
 
 
 # --------------------------------------------------------------------------
@@ -177,54 +193,79 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
               requant: RequantSpec, *, stride: int, out_hw: Tuple[int, int],
               leaky: Optional[LeakySpec] = None, nt: Optional[int] = None):
     """Depthwise 3x3 over pre-padded input [C, Hp, Wp, N] (engine pads with
-    the input zero-point in XLA).  stride 1 or 2; int32 tap FMAs on the VPU
-    with strided slices for stride-2."""
-    c, hp, wp, n = x_padded.shape
+    the input zero-point in XLA).  Int32 tap FMAs on the VPU; stride-2 taps
+    read the XLA-precomputed polyphase components (see phase_split)."""
+    if stride == 2:
+        phases = phase_split(x_padded)
+        c, hp, wp, n = x_padded.shape
+    else:
+        c, hp, wp, n = x_padded.shape
     ho, wo = out_hw
     nt = _pick_nt(n, nt)
     w_taps = np.asarray(w_c33, np.int32).reshape(c, 9)
 
-    # Mosaic supports strided reads on REFS (any offset) but not on loaded
-    # values, so stride-2 kernels stage an int32 copy in VMEM scratch and
-    # read the (dy, dx) windows straight off the scratch ref.
-    def kernel(xr, wr, br, p1r, p2r, o, *scratch):
-        if stride == 2:
-            sref = scratch[0]
-            sref[:] = xr[:].astype(jnp.int32)
-            xi = None
-        else:
+    if stride == 1:
+        def kernel(xr, wr, br, p1r, p2r, o):
             xi = xr[:].astype(jnp.int32)
+            acc = (br[:].reshape(c, 1, 1, 1)
+                   + jnp.zeros((c, ho, wo, nt), jnp.int32))
+            for dy in range(3):
+                for dx in range(3):
+                    tap = wr[:, dy * 3 + dx].reshape(c, 1, 1, 1)
+                    acc = acc + xi[:, dy:dy + ho, dx:dx + wo, :] * tap
+            o[:] = _maybe_leaky(
+                requant.apply_in_kernel(acc, p1r[:], p2r[:]), leaky)
+
+        p1, p2 = requant.operands()
+        return pl.pallas_call(
+            kernel,
+            grid=(n // nt,),
+            in_specs=[
+                pl.BlockSpec((c, hp, wp, nt), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, 9), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                _param_spec(c), _param_spec(c), _param_spec(c),
+            ],
+            out_specs=pl.BlockSpec((c, ho, wo, nt), lambda i: (0, 0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
+            interpret=_interpret_mode(),
+        )(x_padded, jnp.asarray(w_taps),
+          jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), p1, p2)
+
+    # stride == 2: four polyphase inputs, contiguous tap slices
+    def kernel(x00, x01, x10, x11, wr, br, p1r, p2r, o):
+        ph = {(0, 0): x00, (0, 1): x01, (1, 0): x10, (1, 1): x11}
         acc = (br[:].reshape(c, 1, 1, 1)
                + jnp.zeros((c, ho, wo, nt), jnp.int32))
         for dy in range(3):
             for dx in range(3):
                 tap = wr[:, dy * 3 + dx].reshape(c, 1, 1, 1)
-                if stride == 1:
-                    sl = xi[:, dy:dy + ho, dx:dx + wo, :]
-                else:
-                    sl = sref[:, dy:min(dy + 2 * ho, hp):2,
-                              dx:min(dx + 2 * wo, wp):2, :]
+                pr = ph[(dy % 2, dx % 2)]
+                oy, ox = dy // 2, dx // 2
+                sl = pr[:, oy:oy + ho, ox:ox + wo, :].astype(jnp.int32)
                 acc = acc + sl * tap
         o[:] = _maybe_leaky(requant.apply_in_kernel(acc, p1r[:], p2r[:]),
                             leaky)
 
     p1, p2 = requant.operands()
-    scratch_shapes = ([pltpu.VMEM((c, hp, wp, nt), jnp.int32)]
-                      if stride == 2 else [])
+    phase_specs = [
+        pl.BlockSpec((c,) + ph.shape[1:3] + (nt,), lambda i: (0, 0, 0, i),
+                     memory_space=pltpu.VMEM)
+        for ph in phases]
     return pl.pallas_call(
         kernel,
         grid=(n // nt,),
-        in_specs=[
-            pl.BlockSpec((c, hp, wp, nt), lambda i: (0, 0, 0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs=phase_specs + [
             pl.BlockSpec((c, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
             _param_spec(c), _param_spec(c), _param_spec(c),
         ],
         out_specs=pl.BlockSpec((c, ho, wo, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
-        scratch_shapes=scratch_shapes,
-    )(x_padded, jnp.asarray(w_taps),
+        interpret=_interpret_mode(),
+    )(*phases, jnp.asarray(w_taps),
       jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), p1, p2)
 
 
@@ -234,59 +275,89 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
 def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
             requant: RequantSpec, *, stride: int, out_hw: Tuple[int, int],
             leaky: Optional[LeakySpec] = None, nt: Optional[int] = None):
-    """Standard KxK conv over pre-padded [Ci, Hp, Wp, N]: per-tap pointwise
-    dots accumulated in int32 (K*K small dots beat im2col materialization
-    for Ci=3)."""
+    """Standard KxK conv over pre-padded [Ci, Hp, Wp, N].  Mosaic has no
+    int32 MXU matmul and Ci is tiny (3 for conv1), so taps accumulate as
+    ci*co broadcast FMAs on the VPU; stride-2 reads XLA-precomputed
+    polyphase components."""
     ci, hp, wp, n = x_padded.shape
     co, _, kh, kw = w_oihw.shape
     ho, wo = out_hw
     nt = _pick_nt(n, nt)
-    # [K*K, Ci, Co] int32 tap matrices
-    taps = np.stack([np.asarray(w_oihw[:, :, dy, dx].T, np.int32)
+    # [K*K, Co, Ci] int32 tap matrices (Co in sublanes so the per-channel
+    # column slice reshapes to (Co,1,1,1) without a lane->plain relayout)
+    taps = np.stack([np.asarray(w_oihw[:, :, dy, dx], np.int32)
                      for dy in range(kh) for dx in range(kw)])
+    phases = phase_split(x_padded) if stride == 2 else None
 
-    def kernel(xr, wr, br, p1r, p2r, o, *scratch):
-        if stride == 2:
-            sref = scratch[0]
-            sref[:] = xr[:].astype(jnp.int32)
-            xi = None
-        else:
-            xi = xr[:].astype(jnp.int32)
+    def accumulate(get_slice, wr, br):
         acc = (br[:].reshape(co, 1, 1, 1)
                + jnp.zeros((co, ho, wo, nt), jnp.int32))
         for dy in range(kh):
             for dx in range(kw):
                 k = dy * kw + dx
-                w_tap = wr[k:k + 1, :, :].reshape(ci, co)
-                if stride == 1:
-                    sl = xi[:, dy:dy + ho, dx:dx + wo, :]
-                else:
-                    sl = sref[:, dy:min(dy + 2 * ho, hp):2,
-                              dx:min(dx + 2 * wo, wp):2, :]
-                acc = acc + lax.dot_general(
-                    w_tap, sl, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+                sl = get_slice(dy, dx)
+                for ci_i in range(ci):
+                    w_col = wr[k:k + 1, :, ci_i:ci_i + 1].reshape(
+                        co, 1, 1, 1)
+                    acc = acc + sl[ci_i:ci_i + 1] * w_col
+        return acc
+
+    p1, p2 = requant.operands()
+    if stride == 1:
+        def kernel(xr, wr, br, p1r, p2r, o):
+            xi = xr[:].astype(jnp.int32)
+            acc = accumulate(
+                lambda dy, dx: xi[:, dy:dy + ho, dx:dx + wo, :], wr, br)
+            o[:] = _maybe_leaky(
+                requant.apply_in_kernel(acc, p1r[:], p2r[:]), leaky)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(n // nt,),
+            in_specs=[
+                pl.BlockSpec((ci, hp, wp, nt), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kh * kw, co, ci), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                _param_spec(co), _param_spec(co), _param_spec(co),
+            ],
+            out_specs=pl.BlockSpec((co, ho, wo, nt),
+                                   lambda i: (0, 0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((co, ho, wo, n), jnp.int8),
+            interpret=_interpret_mode(),
+        )(x_padded, jnp.asarray(taps),
+          jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
+
+    def kernel(x00, x01, x10, x11, wr, br, p1r, p2r, o):
+        ph = {(0, 0): x00, (0, 1): x01, (1, 0): x10, (1, 1): x11}
+
+        def get_slice(dy, dx):
+            pr = ph[(dy % 2, dx % 2)]
+            oy, ox = dy // 2, dx // 2
+            return pr[:, oy:oy + ho, ox:ox + wo, :].astype(jnp.int32)
+
+        acc = accumulate(get_slice, wr, br)
         o[:] = _maybe_leaky(requant.apply_in_kernel(acc, p1r[:], p2r[:]),
                             leaky)
 
-    p1, p2 = requant.operands()
-    scratch_shapes = ([pltpu.VMEM((ci, hp, wp, nt), jnp.int32)]
-                      if stride == 2 else [])
+    phase_specs = [
+        pl.BlockSpec((ci,) + ph.shape[1:3] + (nt,), lambda i: (0, 0, 0, i),
+                     memory_space=pltpu.VMEM)
+        for ph in phases]
     return pl.pallas_call(
         kernel,
         grid=(n // nt,),
-        in_specs=[
-            pl.BlockSpec((ci, hp, wp, nt), lambda i: (0, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kh * kw, ci, co), lambda i: (0, 0, 0),
+        in_specs=phase_specs + [
+            pl.BlockSpec((kh * kw, co, ci), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             _param_spec(co), _param_spec(co), _param_spec(co),
         ],
         out_specs=pl.BlockSpec((co, ho, wo, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((co, ho, wo, n), jnp.int8),
-        scratch_shapes=scratch_shapes,
-    )(x_padded, jnp.asarray(taps),
+        interpret=_interpret_mode(),
+    )(*phases, jnp.asarray(taps),
       jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
 
 
@@ -324,4 +395,5 @@ def preprocess_rgb565(frames_hwn, nt: Optional[int] = None):
         out_specs=pl.BlockSpec((3, 56, 56, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 56, 56, n), jnp.int8),
+        interpret=_interpret_mode(),
     )(frames_hwn)

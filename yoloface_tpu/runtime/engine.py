@@ -224,18 +224,25 @@ class Int8Engine:
     # ------------------------------------------------------------ execution
     def _forward(self, x, collect: bool = False):
         chwn = self.mode.startswith("pallas")
+        n = x.shape[0]
         if chwn:
+            # Mosaic kernels want full 128-lane batch tiles (tiny lane dims
+            # trip vector-reshape lowering); pad and slice the result.
+            if jax.default_backend() != "cpu" and n % 128 != 0:
+                pad = (-n) % 128
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
             x = jnp.transpose(x, (3, 1, 2, 0))  # NHWC -> CHWN
         env = {self.input_idx: x}
         for fn in self._plan:
             env[fn.out_idx] = fn(env)
         if collect:
             if chwn:
-                env = {k: jnp.transpose(v, (3, 1, 2, 0))
+                env = {k: jnp.transpose(v, (3, 1, 2, 0))[:n]
                        for k, v in env.items()}
             return env
         out = env[self.output_idx]
-        return jnp.transpose(out, (3, 1, 2, 0)) if chwn else out
+        return jnp.transpose(out, (3, 1, 2, 0))[:n] if chwn else out
 
     def __call__(self, x):
         """Run the graph on int8 frames [N,56,56,3] -> int8 [N,7,7,18]."""
