@@ -26,6 +26,8 @@ TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
     from yoloface_tpu.io.tflite_import import load_tflite
@@ -34,17 +36,34 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # serving mode: Pallas kernels; persistent compile cache makes repeat
+    # runs fast.  BENCH_MODE overrides; automatic fallback to the XLA fast
+    # path if the pallas compile fails for any reason.
+    mode = os.environ.get("BENCH_MODE", "pallas")
 
-    pipe = FacePipeline(Int8Engine(load_tflite(TFLITE)))
+    graph = load_tflite(TFLITE)
 
-    @jax.jit
-    def step(seed):
-        frames = jax.random.bits(jax.random.key(seed), (batch, 112, 112),
-                                 jnp.uint16)
-        det = pipe._detect_from_rgb565(frames)
-        return det["count"].sum()
+    def build(mode):
+        pipe = FacePipeline(Int8Engine(graph, mode=mode))
 
-    int(step(0))  # compile + first run
+        @jax.jit
+        def step(seed):
+            frames = jax.random.bits(jax.random.key(seed),
+                                     (batch, 112, 112), jnp.uint16)
+            det = pipe._detect_from_rgb565(frames)
+            return det["count"].sum()
+
+        return step
+
+    step = build(mode)
+    try:
+        int(step(0))  # compile + first run
+    except Exception as e:
+        print(f"# {mode} mode failed ({type(e).__name__}); "
+              "falling back to fast", file=sys.stderr)
+        mode = "fast"
+        step = build(mode)
+        int(step(0))
 
     lats = []
     t0 = time.perf_counter()
@@ -63,6 +82,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "batch": batch,
         "p50_batch_latency_ms": round(p50_ms, 3),
+        "engine_mode": mode,
         "device": str(jax.devices()[0]),
     }))
 

@@ -136,6 +136,22 @@ def _maybe_leaky(t, leaky: Optional[LeakySpec]):
     return t if leaky is None else leaky.apply(t)
 
 
+
+def _write_out(o, acc, requant, leaky, p1, p2, ho: int):
+    """Requantize + (leaky) + store, strip-wise over H when the exact
+    fixed-point path is active: SRDHM expands to ~6 int32 temporaries per
+    element, so full-accumulator application can blow the 16 MB scoped-vmem
+    budget — strips bound the live set."""
+    if not requant.exact:
+        o[:] = _maybe_leaky(requant.apply_in_kernel(acc, p1, p2), leaky)
+        return
+    strip = max(1, ho // 4)
+    for h0 in range(0, ho, strip):
+        h1 = min(h0 + strip, ho)
+        t = requant.apply_in_kernel(acc[:, h0:h1], p1, p2)
+        o[:, h0:h1] = _maybe_leaky(t, leaky)
+
+
 def _param_spec(c):
     return pl.BlockSpec((c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
@@ -155,8 +171,7 @@ def conv1x1(x, w_io: np.ndarray, bias_eff: np.ndarray, requant: RequantSpec,
         acc = lax.dot_general(wr[:], xr[:], (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
         acc = acc + br[:].reshape(co, 1, 1, 1)
-        o[:] = _maybe_leaky(requant.apply_in_kernel(acc, p1r[:], p2r[:]),
-                            leaky)
+        _write_out(o, acc, requant, leaky, p1r[:], p2r[:], h)
 
     p1, p2 = requant.operands()
     return pl.pallas_call(
@@ -204,17 +219,24 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
     nt = _pick_nt(n, nt)
     w_taps = np.asarray(w_c33, np.int32).reshape(c, 9)
 
+    # H-strip processing bounds the live int32 set (tap temporaries plus
+    # the exact path's SRDHM expansion) under the 16 MB scoped-vmem limit.
+    strip = max(1, -(-ho // (4 if requant.exact else 2)))
+
     if stride == 1:
         def kernel(xr, wr, br, p1r, p2r, o):
-            xi = xr[:].astype(jnp.int32)
-            acc = (br[:].reshape(c, 1, 1, 1)
-                   + jnp.zeros((c, ho, wo, nt), jnp.int32))
-            for dy in range(3):
-                for dx in range(3):
-                    tap = wr[:, dy * 3 + dx].reshape(c, 1, 1, 1)
-                    acc = acc + xi[:, dy:dy + ho, dx:dx + wo, :] * tap
-            o[:] = _maybe_leaky(
-                requant.apply_in_kernel(acc, p1r[:], p2r[:]), leaky)
+            for h0 in range(0, ho, strip):
+                h1 = min(h0 + strip, ho)
+                acc = (br[:].reshape(c, 1, 1, 1)
+                       + jnp.zeros((c, h1 - h0, wo, nt), jnp.int32))
+                for dy in range(3):
+                    for dx in range(3):
+                        tap = wr[:, dy * 3 + dx].reshape(c, 1, 1, 1)
+                        sl = xr[:, h0 + dy:h1 + dy, dx:dx + wo,
+                                :].astype(jnp.int32)
+                        acc = acc + sl * tap
+                t = requant.apply_in_kernel(acc, p1r[:], p2r[:])
+                o[:, h0:h1] = _maybe_leaky(t, leaky)
 
         p1, p2 = requant.operands()
         return pl.pallas_call(
@@ -237,17 +259,20 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
     # stride == 2: four polyphase inputs, contiguous tap slices
     def kernel(x00, x01, x10, x11, wr, br, p1r, p2r, o):
         ph = {(0, 0): x00, (0, 1): x01, (1, 0): x10, (1, 1): x11}
-        acc = (br[:].reshape(c, 1, 1, 1)
-               + jnp.zeros((c, ho, wo, nt), jnp.int32))
-        for dy in range(3):
-            for dx in range(3):
-                tap = wr[:, dy * 3 + dx].reshape(c, 1, 1, 1)
-                pr = ph[(dy % 2, dx % 2)]
-                oy, ox = dy // 2, dx // 2
-                sl = pr[:, oy:oy + ho, ox:ox + wo, :].astype(jnp.int32)
-                acc = acc + sl * tap
-        o[:] = _maybe_leaky(requant.apply_in_kernel(acc, p1r[:], p2r[:]),
-                            leaky)
+        for h0 in range(0, ho, strip):
+            h1 = min(h0 + strip, ho)
+            acc = (br[:].reshape(c, 1, 1, 1)
+                   + jnp.zeros((c, h1 - h0, wo, nt), jnp.int32))
+            for dy in range(3):
+                for dx in range(3):
+                    tap = wr[:, dy * 3 + dx].reshape(c, 1, 1, 1)
+                    pr = ph[(dy % 2, dx % 2)]
+                    oy, ox = dy // 2, dx // 2
+                    sl = pr[:, oy + h0:oy + h1, ox:ox + wo,
+                            :].astype(jnp.int32)
+                    acc = acc + sl * tap
+            t = requant.apply_in_kernel(acc, p1r[:], p2r[:])
+            o[:, h0:h1] = _maybe_leaky(t, leaky)
 
     p1, p2 = requant.operands()
     phase_specs = [
@@ -289,27 +314,33 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                      for dy in range(kh) for dx in range(kw)])
     phases = phase_split(x_padded) if stride == 2 else None
 
-    def accumulate(get_slice, wr, br):
-        acc = (br[:].reshape(co, 1, 1, 1)
-               + jnp.zeros((co, ho, wo, nt), jnp.int32))
-        for dy in range(kh):
-            for dx in range(kw):
-                k = dy * kw + dx
-                sl = get_slice(dy, dx)
-                for ci_i in range(ci):
-                    w_col = wr[k:k + 1, :, ci_i:ci_i + 1].reshape(
-                        co, 1, 1, 1)
-                    acc = acc + sl[ci_i:ci_i + 1] * w_col
-        return acc
+    strip = max(1, -(-ho // (4 if requant.exact else 2)))
+
+    def stripe_out(get_slice, wr, br, p1, p2, o):
+        """Accumulate + requant + store, strip-wise over H (bounds the live
+        int32 working set under the scoped-vmem limit)."""
+        for h0 in range(0, ho, strip):
+            h1 = min(h0 + strip, ho)
+            acc = (br[:].reshape(co, 1, 1, 1)
+                   + jnp.zeros((co, h1 - h0, wo, nt), jnp.int32))
+            for dy in range(kh):
+                for dx in range(kw):
+                    k = dy * kw + dx
+                    sl = get_slice(dy, dx, h0, h1)
+                    for ci_i in range(ci):
+                        w_col = wr[k:k + 1, :, ci_i:ci_i + 1].reshape(
+                            co, 1, 1, 1)
+                        acc = acc + sl[ci_i:ci_i + 1] * w_col
+            t = requant.apply_in_kernel(acc, p1, p2)
+            o[:, h0:h1] = _maybe_leaky(t, leaky)
 
     p1, p2 = requant.operands()
     if stride == 1:
         def kernel(xr, wr, br, p1r, p2r, o):
-            xi = xr[:].astype(jnp.int32)
-            acc = accumulate(
-                lambda dy, dx: xi[:, dy:dy + ho, dx:dx + wo, :], wr, br)
-            o[:] = _maybe_leaky(
-                requant.apply_in_kernel(acc, p1r[:], p2r[:]), leaky)
+            stripe_out(
+                lambda dy, dx, h0, h1: xr[:, h0 + dy:h1 + dy, dx:dx + wo, :
+                                          ].astype(jnp.int32),
+                wr, br, p1r[:], p2r[:], o)
 
         return pl.pallas_call(
             kernel,
@@ -332,14 +363,12 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
     def kernel(x00, x01, x10, x11, wr, br, p1r, p2r, o):
         ph = {(0, 0): x00, (0, 1): x01, (1, 0): x10, (1, 1): x11}
 
-        def get_slice(dy, dx):
+        def get_slice(dy, dx, h0, h1):
             pr = ph[(dy % 2, dx % 2)]
             oy, ox = dy // 2, dx // 2
-            return pr[:, oy:oy + ho, ox:ox + wo, :].astype(jnp.int32)
+            return pr[:, oy + h0:oy + h1, ox:ox + wo, :].astype(jnp.int32)
 
-        acc = accumulate(get_slice, wr, br)
-        o[:] = _maybe_leaky(requant.apply_in_kernel(acc, p1r[:], p2r[:]),
-                            leaky)
+        stripe_out(get_slice, wr, br, p1r[:], p2r[:], o)
 
     phase_specs = [
         pl.BlockSpec((ci,) + ph.shape[1:3] + (nt,), lambda i: (0, 0, 0, i),
