@@ -30,5 +30,5 @@ def test_batch_mode(tmp_path, capsys):
     rc = detect.main(["--batch-dir", DATASET, "--report", str(report)])
     assert rc == 0
     data = json.loads(report.read_text())
-    assert data["inputs"] == 24
+    assert data["inputs"] == 27
     assert data["faces"] >= 20
