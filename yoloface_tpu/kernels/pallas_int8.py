@@ -221,7 +221,7 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
 
     # H-strip processing bounds the live int32 set (tap temporaries plus
     # the exact path's SRDHM expansion) under the 16 MB scoped-vmem limit.
-    strip = max(1, -(-ho // (4 if requant.exact else 2)))
+    strip = max(1, -(-ho // (7 if requant.exact else 2)))
 
     if stride == 1:
         def kernel(xr, wr, br, p1r, p2r, o):
@@ -314,7 +314,7 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                      for dy in range(kh) for dx in range(kw)])
     phases = phase_split(x_padded) if stride == 2 else None
 
-    strip = max(1, -(-ho // (4 if requant.exact else 2)))
+    strip = max(1, -(-ho // (7 if requant.exact else 2)))
 
     def stripe_out(get_slice, wr, br, p1, p2, o):
         """Accumulate + requant + store, strip-wise over H (bounds the live
