@@ -105,20 +105,52 @@ def run_monitor(stream, render_every: int = 1, out=sys.stdout,
     return state
 
 
+def load_config(path: str) -> dict:
+    """Persisted monitor defaults — the GUI's JSON config
+    (main.py:585-613, serial_config.json analogue)."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def save_config(path: str, cfg: dict) -> None:
+    try:
+        with open(path, "w") as f:
+            json.dump(cfg, f, indent=2)
+    except OSError:
+        pass
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="yoloface detection monitor")
-    p.add_argument("--source", default="stdin",
-                   choices=["stdin", "file", "synthetic", "dataset"])
+    p.add_argument("--config", default="monitor_config.json",
+                   help="JSON defaults file (persisted on exit)")
+    p.add_argument("--source", choices=["stdin", "file", "synthetic",
+                                        "dataset"])
     p.add_argument("--file", help="protocol text file (--source file)")
-    p.add_argument("--dataset",
-                   default="/root/reference/yoloface/small_dataset")
-    p.add_argument("--batches", type=int, default=4)
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--render-every", type=int, default=1)
-    p.add_argument("--canvas", action="store_true")
-    p.add_argument("--tflite",
-                   default="/root/reference/yoloface/tflite/yoloface_int8.tflite")
+    p.add_argument("--dataset")
+    p.add_argument("--batches", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--render-every", type=int)
+    p.add_argument("--canvas", action="store_true", default=None)
+    p.add_argument("--tflite")
     args = p.parse_args(argv)
+
+    defaults = {"source": "stdin", "batches": 4, "batch_size": 8,
+                "render_every": 1, "canvas": False,
+                "dataset": "/root/reference/yoloface/small_dataset",
+                "tflite": "/root/reference/yoloface/tflite/yoloface_int8.tflite"}
+    defaults.update(load_config(args.config))
+    for key, val in defaults.items():
+        if getattr(args, key, None) is None:
+            setattr(args, key, val)
+    save_config(args.config, {
+        "source": args.source, "batches": args.batches,
+        "batch_size": args.batch_size, "render_every": args.render_every,
+        "canvas": bool(args.canvas), "dataset": args.dataset,
+        "tflite": args.tflite})
 
     if args.source == "stdin":
         state = run_monitor(iter(sys.stdin.readline, ""),

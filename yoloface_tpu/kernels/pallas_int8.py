@@ -253,6 +253,9 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
             interpret=_interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=(32 * 1024 * 1024 if requant.exact
+                                  else None)),
         )(x_padded, jnp.asarray(w_taps),
           jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), p1, p2)
 
@@ -290,6 +293,8 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
         interpret=_interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(32 * 1024 * 1024 if requant.exact else None)),
     )(*phases, jnp.asarray(w_taps),
       jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), p1, p2)
 
@@ -357,6 +362,9 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((co, ho, wo, n), jnp.int8),
             interpret=_interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=(32 * 1024 * 1024 if requant.exact
+                                  else None)),
         )(x_padded, jnp.asarray(taps),
           jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
 
@@ -386,6 +394,8 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((co, ho, wo, n), jnp.int8),
         interpret=_interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(32 * 1024 * 1024 if requant.exact else None)),
     )(*phases, jnp.asarray(taps),
       jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
 
