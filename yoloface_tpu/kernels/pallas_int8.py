@@ -436,3 +436,186 @@ def preprocess_rgb565(frames_hwn, nt: Optional[int] = None):
         out_shape=jax.ShapeDtypeStruct((3, 56, 56, n), jnp.int8),
         interpret=_interpret_mode(),
     )(frames_hwn)
+
+# --------------------------------------------------------------------------
+# glue ops as kernels: pad / maxpool / add / requantize / concat
+#
+# Every graph op runs as a Pallas custom call so consecutive ops chain with
+# identical (row-major) layouts — XLA otherwise interleaves its own tiled
+# layouts and inserts relayout copies at every kernel boundary (measured
+# ~35% of net time at batch 32k).
+# --------------------------------------------------------------------------
+def pad_int8(x, pads, zp: int, nt: Optional[int] = None):
+    """[C,H,W,N] int8 -> zero-point-padded [C,H+ph,W+pw,N] (PAD op)."""
+    c, h, w, n = x.shape
+    (pt, pb), (pw_l, pw_r) = pads
+    ho, wo = h + pt + pb, w + pw_l + pw_r
+    nt = _pick_nt(n, nt)
+
+    def kernel(xr, o):
+        o[:] = jnp.full((c, ho, wo, nt), zp, jnp.int8)
+        o[:, pt:pt + h, pw_l:pw_l + w, :] = xr[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nt,),
+        in_specs=[pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, ho, wo, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
+        interpret=_interpret_mode(),
+    )(x)
+
+
+def maxpool_int8(x, *, filter_hw: Tuple[int, int], stride: int,
+                 pads, out_hw: Tuple[int, int], nt: Optional[int] = None):
+    """[C,H,W,N] int8 max pool (TFLite SAME clipped-window semantics via
+    -128 pad).  Window taps read a padded int32 scratch ref (strided ref
+    reads are the only strided access Mosaic supports)."""
+    c, h, w, n = x.shape
+    fh, fw = filter_hw
+    (pt, pb), (pw_l, pw_r) = pads
+    hp, wp = h + pt + pb, w + pw_l + pw_r
+    ho, wo = out_hw
+    nt = _pick_nt(n, nt)
+
+    def kernel(xr, o, s):
+        s[:] = jnp.full((c, hp, wp, nt), -128, jnp.int32)
+        s[:, pt:pt + h, pw_l:pw_l + w, :] = xr[:].astype(jnp.int32)
+        acc = jnp.full((c, ho, wo, nt), -128, jnp.int32)
+        for dy in range(fh):
+            for dx in range(fw):
+                if stride == 1:
+                    sl = s[:, dy:dy + ho, dx:dx + wo, :]
+                else:
+                    sl = s[:, dy:min(dy + stride * ho, hp):stride,
+                           dx:min(dx + stride * wo, wp):stride, :]
+                acc = jnp.maximum(acc, sl)
+        o[:] = acc.astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nt,),
+        in_specs=[pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, ho, wo, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((c, hp, wp, nt), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=_interpret_mode(),
+    )(x)
+
+
+def add_int8(a, b, spec: dict, nt: Optional[int] = None):
+    """Quantized eltwise ADD; ``spec`` carries scalar params for either
+    semantics (built by the plan)."""
+    c, h, w, n = a.shape
+    nt = _pick_nt(n, nt)
+    exact = spec["exact"]
+
+    def kernel(ar, br_, o):
+        va = ar[:].astype(jnp.int32) - spec["zp1"]
+        vb = br_[:].astype(jnp.int32) - spec["zp2"]
+        if exact:
+            va <<= spec["left_shift"]
+            vb <<= spec["left_shift"]
+            sa = multiply_by_quantized_multiplier(
+                va, jnp.int32(spec["qm1"]), jnp.int32(spec["sh1"]))
+            sb = multiply_by_quantized_multiplier(
+                vb, jnp.int32(spec["qm2"]), jnp.int32(spec["sh2"]))
+            out = multiply_by_quantized_multiplier(
+                sa + sb, jnp.int32(spec["qmo"]), jnp.int32(spec["sho"]))
+        else:
+            out = jnp.round(
+                va.astype(jnp.float32) * np.float32(spec["s1"])
+                + vb.astype(jnp.float32) * np.float32(spec["s2"])
+            ).astype(jnp.int32)
+        o[:] = jnp.clip(out + spec["zp_out"], -128, 127).astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nt,),
+        in_specs=[pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w, n), jnp.int8),
+        interpret=_interpret_mode(),
+    )(a, b)
+
+
+def requantize_int8(x, spec: dict, nt: Optional[int] = None):
+    """QUANTIZE op (int8 -> int8 rescale)."""
+    c, h, w, n = x.shape
+    nt = _pick_nt(n, nt)
+    exact = spec["exact"]
+
+    def kernel(xr, o):
+        v = xr[:].astype(jnp.int32) - spec["zp_in"]
+        if exact:
+            out = multiply_by_quantized_multiplier(
+                v, jnp.int32(spec["qm"]), jnp.int32(spec["sh"]))
+        else:
+            out = jnp.round(v.astype(jnp.float32)
+                            * np.float32(spec["scale"])).astype(jnp.int32)
+        o[:] = jnp.clip(out + spec["zp_out"], -128, 127).astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nt,),
+        in_specs=[pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w, n), jnp.int8),
+        interpret=_interpret_mode(),
+    )(x)
+
+
+def concat_channels(a, b, nt: Optional[int] = None):
+    """CONCATENATION along channels (dim 0 of [C,H,W,N])."""
+    c1, h, w, n = a.shape
+    c2 = b.shape[0]
+    nt = _pick_nt(n, nt)
+
+    def kernel(ar, br_, o):
+        o[:c1] = ar[:]
+        o[c1:] = br_[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nt,),
+        in_specs=[
+            pl.BlockSpec((c1, h, w, nt), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2, h, w, nt), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c1 + c2, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c1 + c2, h, w, n), jnp.int8),
+        interpret=_interpret_mode(),
+    )(a, b)
+
+
+def leaky_int8(x, leaky: "LeakySpec", nt: Optional[int] = None):
+    """Standalone LEAKY_RELU (conv output with multiple consumers)."""
+    c, h, w, n = x.shape
+    nt = _pick_nt(n, nt)
+
+    def kernel(xr, o):
+        o[:] = leaky.apply(xr[:])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nt,),
+        in_specs=[pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w, n), jnp.int8),
+        interpret=_interpret_mode(),
+    )(x)

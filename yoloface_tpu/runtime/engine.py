@@ -232,17 +232,20 @@ class Int8Engine:
                 pad = (-n) % 128
                 x = jnp.concatenate(
                     [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-            x = jnp.transpose(x, (3, 1, 2, 0))  # NHWC -> CHWN
+            # NHWC -> [C, W, H, N]: H rides in sublanes (pads only to 8s),
+            # W stays a free dim — avoids the 4.5x sublane padding waste the
+            # small 7x7/14x14 layers would pay with W in sublanes.
+            x = jnp.transpose(x, (3, 2, 1, 0))
         env = {self.input_idx: x}
         for fn in self._plan:
             env[fn.out_idx] = fn(env)
         if collect:
             if chwn:
-                env = {k: jnp.transpose(v, (3, 1, 2, 0))[:n]
+                env = {k: jnp.transpose(v, (3, 2, 1, 0))[:n]
                        for k, v in env.items()}
             return env
         out = env[self.output_idx]
-        return jnp.transpose(out, (3, 1, 2, 0))[:n] if chwn else out
+        return jnp.transpose(out, (3, 2, 1, 0))[:n] if chwn else out
 
     def __call__(self, x):
         """Run the graph on int8 frames [N,56,56,3] -> int8 [N,7,7,18]."""

@@ -7,10 +7,11 @@ one LEAKY_RELU gets the activation folded into its kernel (one HBM
 round-trip saved per conv — the same folding the reference's codegen does
 with its per-conv int8 LUTs, ``network.c:2900-2921``).
 
-Non-conv ops (pad, pool, add, quantize, concat) stay as XLA elementwise /
-reduce-window code on the CHWN layout, where XLA has no channel-padding
-penalty; XLA also fuses them into adjacent kernels' prologues/epilogues
-where profitable.
+EVERY op runs as a Pallas kernel (convs, pad, pool, add, quantize, concat,
+standalone leaky): consecutive custom calls then share the row-major
+[C,H,W,N] layout, eliminating the relayout copies XLA otherwise inserts
+around each kernel boundary (measured ~35% of net time at batch 32k).  The
+only XLA ops left in the net are the stride-2 polyphase slices.
 """
 
 from __future__ import annotations
@@ -18,16 +19,12 @@ from __future__ import annotations
 from collections import Counter
 from typing import Callable, List
 
-import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from yoloface_tpu.core.fixedpoint import (quantize_multiplier,
                                           quantize_multiplier_arr)
 from yoloface_tpu.graph.ir import GraphDef, OpDef
 from yoloface_tpu.kernels import pallas_int8 as pk
-from yoloface_tpu.ops import int8_fast as fast_ops
-from yoloface_tpu.ops import int8_ref as ref_ops
 from yoloface_tpu.ops.int8_ref import _same_pad_amounts
 
 
@@ -91,11 +88,12 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
             # NHWC paddings [(n),(h),(w),(c)] -> CHWN dims (1, 2)
             p = t(pad_idx).data.astype(int)
             zp = t(op.outputs[0]).qparams.zero_point
-            cfg = [(0, 0, 0), (p[1][0], p[1][1], 0), (p[2][0], p[2][1], 0),
-                   (0, 0, 0)]
+            # layout is [C, W, H, N]: dim1 = W pads, dim2 = H pads
+            pads = ((int(p[2][0]), int(p[2][1])),
+                    (int(p[1][0]), int(p[1][1])))
 
-            def fn(env, data_idx=data_idx, cfg=cfg, zp=zp):
-                return lax.pad(env[data_idx], jnp.int8(zp), cfg)
+            def fn(env, data_idx=data_idx, pads=pads, zp=zp):
+                return pk.pad_int8(env[data_idx], pads, zp)
 
         elif name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
             x_idx, w_idx, b_idx = op.inputs
@@ -128,20 +126,20 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                         return pk.conv1x1(env[x_idx], w_io, bias, requant,
                                           leaky)
                 else:
-                    w_oihw = np.ascontiguousarray(wd.transpose(0, 3, 1, 2))
+                    # [Co,Ci,Kw,Kh]: spatial dims swapped for the
+                    # [C, W, H, N] layout
+                    w_oihw = np.ascontiguousarray(wd.transpose(0, 3, 2, 1))
                     pads = None
                     if padding == "SAME":
-                        ph = _same_pad_amounts(in_h, stride[0], kh)
-                        pw = _same_pad_amounts(in_w, stride[1], kw_)
-                        pads = [(0, 0, 0), (ph[0], ph[1], 0),
-                                (pw[0], pw[1], 0), (0, 0, 0)]
+                        pads = (_same_pad_amounts(in_w, stride[1], kw_),
+                                _same_pad_amounts(in_h, stride[0], kh))
 
                     def fn(env, x_idx=x_idx, w_oihw=w_oihw, bias=bias_eff,
                            requant=requant, leaky=leaky, stride=stride,
-                           pads=pads, out_hw=(out_h, out_w), zp_in=zp_in):
+                           pads=pads, out_hw=(out_w, out_h), zp_in=zp_in):
                         x = env[x_idx]
                         if pads is not None:
-                            x = lax.pad(x, jnp.int8(zp_in), pads)
+                            x = pk.pad_int8(x, pads, zp_in)
                         return pk.conv3x3(x, w_oihw, bias, requant,
                                           stride=stride[0], out_hw=out_hw,
                                           leaky=leaky)
@@ -151,21 +149,20 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
                             ).astype(np.int32)
+                # [C,Kw,Kh]: spatial dims swapped for [C, W, H, N]
                 w_c33 = np.ascontiguousarray(
-                    wd[0].transpose(2, 0, 1))  # [C,3,3]
+                    wd[0].transpose(2, 1, 0))
                 pads = None
                 if padding == "SAME":
-                    ph = _same_pad_amounts(in_h, stride[0], 3)
-                    pw = _same_pad_amounts(in_w, stride[1], 3)
-                    pads = [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0),
-                            (0, 0, 0)]
+                    pads = (_same_pad_amounts(in_w, stride[1], 3),
+                            _same_pad_amounts(in_h, stride[0], 3))
 
                 def fn(env, x_idx=x_idx, w_c33=w_c33, bias=bias_eff,
                        requant=requant, leaky=leaky, stride=stride,
-                       pads=pads, out_hw=(out_h, out_w), zp_in=zp_in):
+                       pads=pads, out_hw=(out_w, out_h), zp_in=zp_in):
                     x = env[x_idx]
                     if pads is not None:
-                        x = lax.pad(x, jnp.int8(zp_in), pads)
+                        x = pk.pad_int8(x, pads, zp_in)
                     return pk.dwconv3x3(x, w_c33, bias, requant,
                                         stride=stride[0], out_hw=out_hw,
                                         leaky=leaky)
@@ -176,7 +173,7 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
             x_idx = op.inputs[0]
 
             def fn(env, x_idx=x_idx, spec=spec):
-                return spec.apply(env[x_idx])
+                return pk.leaky_int8(env[x_idx], spec)
 
         elif name == "MAX_POOL_2D":
             (x_idx,) = op.inputs
@@ -188,13 +185,14 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                 pw = _same_pad_amounts(in_w, sw, fw)
             else:
                 ph = pw = (0, 0)
-            pads = [(0, 0), ph, pw, (0, 0)]
+            # swapped for the [C, W, H, N] layout
+            out_hw = (t(op.outputs[0]).shape[2], t(op.outputs[0]).shape[1])
 
-            def fn(env, x_idx=x_idx, fh=fh, fw=fw, sh=sh, sw=sw, pads=pads):
-                return lax.reduce_window(
-                    env[x_idx], jnp.int8(-128), lax.max,
-                    window_dimensions=(1, fh, fw, 1),
-                    window_strides=(1, sh, sw, 1), padding=pads)
+            def fn(env, x_idx=x_idx, fh=fh, fw=fw, sh=sh, ph=ph, pw=pw,
+                   out_hw=out_hw):
+                return pk.maxpool_int8(env[x_idx], filter_hw=(fw, fh),
+                                       stride=sh, pads=(pw, ph),
+                                       out_hw=out_hw)
 
         elif name == "ADD":
             a_idx, b_idx = op.inputs
@@ -202,51 +200,44 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
             qo = t(out_idx).qparams
             s1, s2, so = (np.float64(q1.scale), np.float64(q2.scale),
                           np.float64(qo.scale))
+            spec = {"exact": exact, "zp1": q1.zero_point,
+                    "zp2": q2.zero_point, "zp_out": qo.zero_point}
             if exact:
                 left_shift = 20
                 twice_max = 2.0 * max(s1, s2)
-                qm1, sh1 = quantize_multiplier(s1 / twice_max)
-                qm2, sh2 = quantize_multiplier(s2 / twice_max)
-                qmo, sho = quantize_multiplier(
+                spec["left_shift"] = left_shift
+                spec["qm1"], spec["sh1"] = quantize_multiplier(s1 / twice_max)
+                spec["qm2"], spec["sh2"] = quantize_multiplier(s2 / twice_max)
+                spec["qmo"], spec["sho"] = quantize_multiplier(
                     twice_max / ((1 << left_shift) * so))
-                kw = dict(zp1=q1.zero_point, zp2=q2.zero_point,
-                          zp_out=qo.zero_point, qm1=qm1, shift1=sh1,
-                          qm2=qm2, shift2=sh2, qm_out=qmo, shift_out=sho,
-                          left_shift=left_shift)
-                impl = ref_ops.add_int8
             else:
-                kw = dict(zp1=q1.zero_point, zp2=q2.zero_point,
-                          zp_out=qo.zero_point, scale1=np.float32(s1 / so),
-                          scale2=np.float32(s2 / so))
-                impl = fast_ops.add_int8_fast
+                spec["s1"] = np.float32(s1 / so)
+                spec["s2"] = np.float32(s2 / so)
 
-            def fn(env, a_idx=a_idx, b_idx=b_idx, impl=impl, kw=kw):
-                return impl(env[a_idx], env[b_idx], **kw)
+            def fn(env, a_idx=a_idx, b_idx=b_idx, spec=spec):
+                return pk.add_int8(env[a_idx], env[b_idx], spec)
 
         elif name == "QUANTIZE":
             (x_idx,) = op.inputs
             in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
             ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
+            spec = {"exact": exact, "zp_in": in_q.zero_point,
+                    "zp_out": out_q.zero_point}
             if exact:
-                qm, sh = quantize_multiplier(ratio)
-                kw = dict(input_zp=in_q.zero_point,
-                          output_zp=out_q.zero_point, qm=qm, shift=sh)
-                impl = ref_ops.requantize_int8
+                spec["qm"], spec["sh"] = quantize_multiplier(ratio)
             else:
-                kw = dict(input_zp=in_q.zero_point,
-                          output_zp=out_q.zero_point,
-                          scale=np.float32(ratio))
-                impl = fast_ops.requantize_int8_fast
+                spec["scale"] = np.float32(ratio)
 
-            def fn(env, x_idx=x_idx, impl=impl, kw=kw):
-                return impl(env[x_idx], **kw)
+            def fn(env, x_idx=x_idx, spec=spec):
+                return pk.requantize_int8(env[x_idx], spec)
 
         elif name == "CONCATENATION":
             idxs = list(op.inputs)
             assert op.attrs["axis"] == 3  # NHWC channel -> CHWN dim 0
+            assert len(idxs) == 2
 
             def fn(env, idxs=idxs):
-                return jnp.concatenate([env[i] for i in idxs], axis=0)
+                return pk.concat_channels(env[idxs[0]], env[idxs[1]])
 
         else:
             raise NotImplementedError(f"pallas plan: op {name}")
