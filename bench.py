@@ -36,10 +36,11 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    # serving mode: Pallas kernels; persistent compile cache makes repeat
-    # runs fast.  BENCH_MODE overrides; automatic fallback to the XLA fast
-    # path if the pallas compile fails for any reason.
-    mode = os.environ.get("BENCH_MODE", "pallas")
+    # BENCH_MODE picks the engine; "fast" (XLA + float requant) is the
+    # current fastest end-to-end path — the per-op Pallas mode wins on conv
+    # microbenchmarks but loses on the depthwise/pool VPU glue (see
+    # CLAUDE.md perf notes); automatic fallback if a mode fails to compile.
+    mode = os.environ.get("BENCH_MODE", "fast")
 
     graph = load_tflite(TFLITE)
 
