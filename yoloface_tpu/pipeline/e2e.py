@@ -9,7 +9,6 @@ host round-trips between stages.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

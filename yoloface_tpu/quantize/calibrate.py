@@ -24,14 +24,14 @@ relies on when regenerating MCU code (`network_generate_report.txt:3`).
 from __future__ import annotations
 
 import copy
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from yoloface_tpu.graph.ir import GraphDef, QParams, TensorDef
+from yoloface_tpu.graph.ir import GraphDef, QParams
 from yoloface_tpu.ops.int8_ref import _same_pad_amounts
 
 

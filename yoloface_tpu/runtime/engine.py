@@ -21,7 +21,7 @@ of the (unused-by-the-reference) X-CUBE-AI network-inspector hooks
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ clip_grad_norm(1.0) → Adam step, cosine-annealed LR), re-designed TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

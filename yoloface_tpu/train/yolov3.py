@@ -22,7 +22,7 @@ backbone — we derive the grid from the stride instead).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
