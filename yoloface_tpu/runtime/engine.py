@@ -50,7 +50,8 @@ class Int8Engine:
           * "pallas_exact" — same kernels with fixed-point requant
             (bit-identical to "exact").
         """
-        if mode not in ("exact", "fast", "pallas", "pallas_exact"):
+        if mode not in ("exact", "fast", "pallas", "pallas_exact",
+                        "pallas_fused", "pallas_fused_exact"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.mode = mode
         self.graph = graph
@@ -64,7 +65,10 @@ class Int8Engine:
                 f"{in_t.qparams}. For float graphs use the FP32 model path "
                 f"(yoloface_tpu.models).")
         self.input_shape = tuple(in_t.shape[1:])  # without batch
-        if mode.startswith("pallas"):
+        if mode.startswith("pallas_fused"):
+            from yoloface_tpu.kernels.pallas_fused import build_fused_plan
+            self._plan = build_fused_plan(graph, exact=mode.endswith("exact"))
+        elif mode.startswith("pallas"):
             from yoloface_tpu.runtime.pallas_plan import build_pallas_plan
             self._plan = build_pallas_plan(graph, exact=mode.endswith("exact"))
         else:
