@@ -31,6 +31,19 @@ def test_pallas_exact_bitexact_vs_exact(int8_graph, random_batch):
     np.testing.assert_array_equal(yp, ye)
 
 
+def test_fused_stages_bitexact(int8_graph, random_batch):
+    """The multi-op fused-stage plan (3 kernels for the whole net) matches
+    both requant semantics bit-for-bit."""
+    yf = np.asarray(Int8Engine(int8_graph, mode="fast")(random_batch))
+    yp = np.asarray(Int8Engine(int8_graph,
+                               mode="pallas_fused")(random_batch))
+    np.testing.assert_array_equal(yp, yf)
+    ye = np.asarray(Int8Engine(int8_graph, mode="exact")(random_batch))
+    ype = np.asarray(Int8Engine(int8_graph,
+                                mode="pallas_fused_exact")(random_batch))
+    np.testing.assert_array_equal(ype, ye)
+
+
 def test_pallas_exact_all_intermediates(int8_graph, dataset_images):
     """Every surviving tensor (conv+leaky fusion skips the pre-activation
     conv outputs) matches the exact XLA engine bit-for-bit."""

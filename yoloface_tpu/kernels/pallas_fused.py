@@ -44,15 +44,28 @@ STAGE_BUDGET_BYTES = 6 * 1024 * 1024   # est. live activations per stage
 # --------------------------------------------------------------------------
 # in-kernel value ops
 # --------------------------------------------------------------------------
-def _scoped_i32(value_i8, body):
-    """Stage an int8 value into an int32 scratch ref and run ``body(ref)``
-    (gives strided-read capability).  run_scoped forwards body's return."""
+def _scoped_i32(value_i8, body, pads=None, fill=0):
+    """Stage an int8 value into an int32 scratch ref (optionally padding it
+    with ``fill`` during staging) and run ``body(ref)`` — refs are the only
+    strided-read-capable objects in Mosaic.  run_scoped forwards the
+    return."""
+    c, w, h, n = value_i8.shape
+    if pads is None or pads == ((0, 0), (0, 0)):
+        def inner(s):
+            s[:] = value_i8.astype(jnp.int32)
+            return body(s)
+
+        return pl.run_scoped(inner, pltpu.VMEM(value_i8.shape, jnp.int32))
+
+    (pw0, pw1), (ph0, ph1) = pads
+    wo, ho = w + pw0 + pw1, h + ph0 + ph1
 
     def inner(s):
-        s[:] = value_i8.astype(jnp.int32)
+        s[:] = jnp.full((c, wo, ho, n), fill, jnp.int32)
+        s[:, pw0:pw0 + w, ph0:ph0 + h, :] = value_i8.astype(jnp.int32)
         return body(s)
 
-    return pl.run_scoped(inner, pltpu.VMEM(value_i8.shape, jnp.int32))
+    return pl.run_scoped(inner, pltpu.VMEM((c, wo, ho, n), jnp.int32))
 
 
 def _pad_value(v, pads, zp):
@@ -131,6 +144,26 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                     and uses[op.inputs[0]] == 1):
                 fused_leaky[src.index] = op
                 absorbed.add(op.index)
+    # absorb single-consumer PAD ops into the conv that consumes them (the
+    # conv's int32 staging pads for free)
+    pad_by_out = {}
+    consumers = {}
+    for op in graph.ops:
+        for i in op.inputs:
+            consumers.setdefault(i, []).append(op)
+    absorbed_pads = {}   # conv op index -> (pads, src_idx)
+    for op in graph.ops:
+        if op.opname != "PAD":
+            continue
+        cons = consumers.get(op.outputs[0], [])
+        if (len(cons) == 1
+                and cons[0].opname in ("CONV_2D", "DEPTHWISE_CONV_2D")):
+            p = t(op.inputs[1]).data.astype(int)
+            absorbed_pads[cons[0].index] = (
+                ((int(p[2][0]), int(p[2][1])),
+                 (int(p[1][0]), int(p[1][1]))),   # (W pads, H pads)
+                op.inputs[0])
+            absorbed.add(op.index)
 
     out: List[FusedOp] = []
     for op in graph.ops:
@@ -173,6 +206,9 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                 kk = w.data.shape[1]
                 pads = (_same_pad_amounts(in_w, stride, kk),
                         _same_pad_amounts(in_h, stride, kk))
+            if op.index in absorbed_pads:
+                assert pads is None
+                pads, x_idx = absorbed_pads[op.index]
 
             if name == "CONV_2D":
                 wd = w.data
@@ -303,17 +339,41 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
 
             def emit(env, opvals, x_idx=x_idx, fw=fw, fh=fh, sh=sh,
                      pads=pads, out_hw=out_hw):
-                x = _pad_value(env[x_idx], pads, -128)
+                # separable two-pass max: fw + fh taps instead of fw * fh
+                x = env[x_idx]
+                c = x.shape[0]
+                nt_b = x.shape[-1]
                 wo, ho = out_hw
+                (pw0, pw1), (ph0, ph1) = pads
+                wp = x.shape[1] + pw0 + pw1
+                hp = x.shape[2] + ph0 + ph1
 
-                def body(sref):
-                    init = jnp.full((x.shape[0], wo, ho, x.shape[-1]),
-                                    -128, jnp.int32)
-                    return _conv_taps(sref, fw, sh, out_hw,
-                                      lambda a, sl, dy, dx: jnp.maximum(a, sl),
-                                      init)
+                def rows_body(sref):
+                    # max over W taps, stride in W; H stays padded-full
+                    acc = jnp.full((c, wo, hp, nt_b), -128, jnp.int32)
+                    for dy in range(fw):
+                        sl = sref[:, dy:min(dy + sh * wo, wp):sh, :, :] \
+                            if sh > 1 else sref[:, dy:dy + wo, :, :]
+                        acc = jnp.maximum(acc, sl)
+                    return acc
 
-                return _scoped_i32(x, body).astype(jnp.int8)
+                rows = _scoped_i32(x, rows_body, pads, -128)
+
+                def cols_body(sref):
+                    acc = jnp.full((c, wo, ho, nt_b), -128, jnp.int32)
+                    for dx in range(fh):
+                        sl = sref[:, :, dx:min(dx + sh * ho, hp):sh, :] \
+                            if sh > 1 else sref[:, :, dx:dx + ho, :]
+                        acc = jnp.maximum(acc, sl)
+                    return acc
+
+                def stage_rows(s2):
+                    s2[:] = rows
+                    return cols_body(s2)
+
+                out = pl.run_scoped(
+                    stage_rows, pltpu.VMEM((c, wo, hp, nt_b), jnp.int32))
+                return out.astype(jnp.int8)
 
             out.append(FusedOp(out_idx, [x_idx], [], emit, _nbytes(out_t)))
 
