@@ -1,0 +1,39 @@
+"""Multi-chip data-parallel inference on the 8-device (virtual CPU) mesh:
+sharded results must equal single-device results exactly."""
+
+import numpy as np
+import jax
+import pytest
+
+from yoloface_tpu.parallel import mesh as mesh_lib
+from yoloface_tpu.pipeline.e2e import FacePipeline
+from yoloface_tpu.runtime.engine import Int8Engine
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (conftest provides virtual CPUs)")
+    return mesh_lib.make_mesh(8)
+
+
+def test_sharded_detect_matches_single_device(int8_graph, mesh):
+    pipe = FacePipeline(Int8Engine(int8_graph))
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 1 << 16, (16, 112, 112),
+                          dtype=np.int64).astype(np.uint16)
+    sharded = pipe.make_sharded(mesh, "rgb565")
+    got = jax.tree.map(np.asarray, sharded(
+        mesh_lib.shard_batch(frames, mesh)))
+    want = pipe.detect_rgb565(frames)
+    for k in ("boxes", "scores", "valid", "count"):
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_sharded_output_layout(int8_graph, mesh):
+    pipe = FacePipeline(Int8Engine(int8_graph))
+    x = np.zeros((8, 56, 56, 3), np.int8)
+    sharded = pipe.make_sharded(mesh, "int8")
+    out = sharded(mesh_lib.shard_batch(x, mesh))
+    # each device holds 1/8 of the batch
+    assert out["count"].sharding.num_devices == 8

@@ -80,6 +80,22 @@ class FacePipeline:
     def detect_int8_device(self, x_int8):
         return self._get("int8", x_int8.shape[0])(x_int8)
 
+    # ------------------------------------------------- multi-chip serving
+    def make_sharded(self, mesh, kind: str = "rgb565"):
+        """Data-parallel inference over a device mesh: frames batch-sharded
+        along the 'data' axis, weights replicated — the scaling axis the
+        workload actually has (SURVEY.md §2c: embarrassingly parallel per
+        frame; collectives ride ICI only for the final gather).
+
+        Returns a jitted fn(frames)->detections; feed a global batch
+        divisible by mesh size."""
+        from yoloface_tpu.parallel import mesh as mesh_lib
+
+        fn = (self._detect_from_rgb565 if kind == "rgb565"
+              else self._detect_from_int8)
+        batch = mesh_lib.batch_sharding(mesh)
+        return jax.jit(fn, in_shardings=(batch,), out_shardings=batch)
+
 
 def load_pipeline(tflite_path: str,
                   head_config: Optional[HeadConfig] = None) -> FacePipeline:
