@@ -61,22 +61,60 @@ def directory_frames(img_dir: str, batch: int) -> Iterator[np.ndarray]:
 
 
 class CameraStreamer:
-    """Double-buffered producer/consumer around a FacePipeline."""
+    """Double-buffered producer/consumer around a FacePipeline.
+
+    With ``use_native=True`` (default: auto-detect) frame batch BYTES stage
+    through the C++ blocking ring buffer (`native/framepipe.cpp`
+    ``fp_ring_*``) — the host-side analogue of the MCU's DMA ping-pong
+    buffers — while a Python queue carries only ordering tokens.  Falls back
+    to a pure-Python queue when the native library is unavailable."""
 
     def __init__(self, pipeline, source: Iterator[np.ndarray],
-                 queue_depth: int = 2):
+                 queue_depth: int = 2, use_native: Optional[bool] = None):
         self.pipeline = pipeline
         self.source = source
-        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(queue_depth)
         self._stop = threading.Event()
         self._producer: Optional[threading.Thread] = None
+        self._depth = queue_depth
+        self._q: "queue.Queue" = queue.Queue(queue_depth)
+        if use_native is None:
+            from yoloface_tpu.host import native
+            use_native = native.available()
+        self._use_native = use_native
+        self._ring = None
+        self._frame_shape = None
+        self._frame_dtype = None
 
     def _produce(self):
+        from yoloface_tpu.host import native
         for frames in self.source:
             if self._stop.is_set():
                 break
-            self._q.put(frames)
+            if self._use_native and self._ring is None:
+                try:
+                    self._ring = native.NativeRing(self._depth,
+                                                   frames.nbytes)
+                    self._frame_shape = frames.shape
+                    self._frame_dtype = frames.dtype
+                except RuntimeError:
+                    self._use_native = False
+            if (self._ring is not None
+                    and frames.shape == self._frame_shape):
+                self._ring.push(np.ascontiguousarray(frames))
+                self._q.put(("ring",))
+            else:
+                self._q.put(("arr", frames))
         self._q.put(None)
+
+    def _next_batch(self):
+        token = self._q.get()
+        if token is None:
+            return None
+        if token[0] == "ring":
+            raw = self._ring.pop()
+            return np.frombuffer(raw, self._frame_dtype).reshape(
+                self._frame_shape)
+        return token[1]
 
     def run(self, n_batches: int,
             on_frame: Optional[Callable[[str], None]] = None,
@@ -90,7 +128,7 @@ class CameraStreamer:
         t0 = time.perf_counter()
         frames_done = 0
         for _ in range(n_batches):
-            frames = self._q.get()
+            frames = self._next_batch()
             if frames is None:
                 break
             det = self.pipeline.detect_rgb565(frames)
@@ -104,8 +142,10 @@ class CameraStreamer:
             frames_done += frames.shape[0]
         dt = time.perf_counter() - t0
         self._stop.set()
+        if self._ring is not None:
+            self._ring.close()
         return {"frames": frames_done, "faces": total_faces,
-                "seconds": dt,
+                "seconds": dt, "native_ring": self._ring is not None,
                 "fps": frames_done / dt if dt > 0 else float("inf")}
 
     def stop(self):

@@ -10,6 +10,7 @@ generated flatbuffer bindings.  Field ids below follow the public TFLite
 
 from __future__ import annotations
 
+import struct
 from typing import Any, Dict, List
 
 import numpy as np
@@ -129,6 +130,19 @@ def load_tflite(path_or_bytes) -> GraphDef:
         with open(path_or_bytes, "rb") as f:
             buf = f.read()
 
+    if len(buf) < 8:
+        raise ValueError("not a TFLite flatbuffer: file too small")
+    if buf[4:8] != b"TFL3":
+        raise ValueError(
+            f"not a TFLite flatbuffer: file identifier {buf[4:8]!r} "
+            f"(expected b'TFL3')")
+    try:
+        return _parse(buf)
+    except (struct.error, IndexError, KeyError, UnicodeDecodeError) as e:
+        raise ValueError(f"malformed TFLite flatbuffer: {e}") from e
+
+
+def _parse(buf: bytes) -> GraphDef:
     model = root_table(buf)
     # Model: version(0) operator_codes(1) subgraphs(2) description(3) buffers(4)
     version = model.scalar(0, "u32", 0)
