@@ -175,7 +175,45 @@ class Trainer:
             if np.isfinite(val_loss) and val_loss < best_val:
                 best_val = val_loss
                 self.save_best()
+        try:
+            self.plot_history(history)
+        except Exception:
+            pass  # plotting is best-effort observability
         return history
+
+    def plot_history(self, history: dict, path: Optional[str] = None):
+        """Loss/LR curves like the reference trainers (train.py:455-463,
+        train_tf.py:864-904); writes ``training_curves.png``."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 2, figsize=(10, 4))
+        ax[0].plot(history["train_loss"], label="train")
+        if any(np.isfinite(v) for v in history["val_loss"]):
+            ax[0].plot(history["val_loss"], label="val")
+        ax[0].set_xlabel("epoch")
+        ax[0].set_ylabel("loss")
+        ax[0].legend()
+        ax[0].set_title("loss")
+        lrs = []
+        try:
+            with open(self._metrics_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if "lr" in rec:
+                        lrs.append(rec["lr"])
+        except OSError:
+            pass
+        if lrs:
+            ax[1].plot(lrs)
+            ax[1].set_xlabel("logged step")
+            ax[1].set_title("learning rate")
+        fig.tight_layout()
+        out = path or os.path.join(self.ckpt_dir, "training_curves.png")
+        fig.savefig(out, dpi=100)
+        plt.close(fig)
+        return out
 
     def save_best(self):
         """Best-model snapshot as a plain npz (the analogue of
