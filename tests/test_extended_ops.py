@@ -1,0 +1,96 @@
+"""Extended op coverage (AVERAGE_POOL_2D, LOGISTIC, RELU, RELU6, RESHAPE):
+single-op graphs built with OUR exporter, run in BOTH the stock TFLite
+reference interpreter and our engine — bit-exact agreement.  This is what
+lets the engine run int8 model families beyond yoloface."""
+
+import numpy as np
+import pytest
+
+from yoloface_tpu.graph.ir import GraphDef, OpDef, QParams, TensorDef
+from yoloface_tpu.io.tflite_export import export_tflite
+from yoloface_tpu.io.tflite_import import load_tflite
+from yoloface_tpu.runtime.engine import Int8Engine
+
+
+def one_op_graph(opname, attrs, in_shape, out_shape, in_q, out_q):
+    tensors = [TensorDef(0, "in", in_shape, np.dtype(np.int8), in_q),
+               TensorDef(1, "out", out_shape, np.dtype(np.int8), out_q)]
+    return GraphDef(tensors, [OpDef(0, opname, [0], [1], attrs)], [0], [1])
+
+
+def run_both(graph, x):
+    tf = pytest.importorskip("tensorflow")
+    blob = export_tflite(graph)
+    interp = tf.lite.Interpreter(
+        model_content=blob,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType.BUILTIN_REF))
+    interp.allocate_tensors()
+    interp.set_tensor(interp.get_input_details()[0]["index"], x)
+    interp.invoke()
+    want = interp.get_tensor(interp.get_output_details()[0]["index"])
+    eng = Int8Engine(load_tflite(blob))
+    got = np.asarray(eng(x))
+    return got, want
+
+
+@pytest.mark.parametrize("fh,fw,stride,pad", [
+    (3, 3, 2, "SAME"), (2, 2, 2, "VALID"), (3, 3, 1, "SAME"),
+    (4, 2, 2, "SAME")])
+def test_avgpool_bit_exact(fh, fw, stride, pad):
+    h = w = 8
+    if pad == "SAME":
+        oh, ow = -(-h // stride), -(-w // stride)
+    else:
+        oh = (h - fh) // stride + 1
+        ow = (w - fw) // stride + 1
+    g = one_op_graph("AVERAGE_POOL_2D",
+                     {"padding": pad, "stride_w": stride, "stride_h": stride,
+                      "filter_w": fw, "filter_h": fh, "activation": "NONE"},
+                     (1, h, w, 4), (1, oh, ow, 4),
+                     QParams((0.07,), (-5,)), QParams((0.07,), (-5,)))
+    x = np.random.default_rng(fh * 10 + fw).integers(
+        -128, 128, (1, h, w, 4), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_logistic_bit_exact():
+    g = one_op_graph("LOGISTIC", {}, (1, 6, 6, 8), (1, 6, 6, 8),
+                     QParams((0.08,), (7,)), QParams((1.0 / 256,), (-128,)))
+    x = np.random.default_rng(3).integers(
+        -128, 128, (1, 6, 6, 8), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_relu_bit_exact():
+    g = one_op_graph("RELU", {}, (1, 4, 4, 8), (1, 4, 4, 8),
+                     QParams((0.05,), (-10,)), QParams((0.05,), (-10,)))
+    x = np.random.default_rng(4).integers(
+        -128, 128, (1, 4, 4, 8), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_relu6_bit_exact():
+    g = one_op_graph("RELU6", {}, (1, 4, 4, 8), (1, 4, 4, 8),
+                     QParams((0.05,), (-100,)), QParams((0.05,), (-100,)))
+    x = np.random.default_rng(5).integers(
+        -128, 128, (1, 4, 4, 8), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_reshape():
+    g = GraphDef(
+        [TensorDef(0, "in", (1, 4, 4, 8), np.dtype(np.int8),
+                   QParams((0.1,), (0,))),
+         TensorDef(1, "out", (1, 2, 8, 8), np.dtype(np.int8),
+                   QParams((0.1,), (0,)))],
+        [OpDef(0, "RESHAPE", [0], [1], {"new_shape": [1, 2, 8, 8]})],
+        [0], [1])
+    x = np.random.default_rng(6).integers(
+        -128, 128, (1, 4, 4, 8), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)

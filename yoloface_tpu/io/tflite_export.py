@@ -26,6 +26,7 @@ _BUILTIN_CODE = {
     "ADD": 0, "CONCATENATION": 2, "CONV_2D": 3, "DEPTHWISE_CONV_2D": 4,
     "MAX_POOL_2D": 17, "PAD": 34, "LEAKY_RELU": 98, "QUANTIZE": 114,
     "AVERAGE_POOL_2D": 1, "RESHAPE": 22, "LOGISTIC": 14,
+    "RELU": 19, "RELU_N1_TO_1": 20, "RELU6": 21,
 }
 _OPTIONS_TYPE = {   # BuiltinOptions union discriminants
     "CONV_2D": 1, "DEPTHWISE_CONV_2D": 2, "MAX_POOL_2D": 5,
@@ -126,7 +127,10 @@ def _builtin_options(b: flatbuffers.Builder, op: OpDef) -> int:
         return _table(b, [(0, "f32", a["alpha"])])
     if name in ("PAD", "QUANTIZE"):
         return _table(b, [])
-    raise NotImplementedError(f"export: options for {name}")
+    if name == "RESHAPE":
+        shape_off = _vec_i32(b, a["new_shape"])
+        return _table(b, [(0, "off", shape_off)])
+    return None  # ops without a builtin-options table (LOGISTIC, RELU, ...)
 
 
 def export_tflite(graph: GraphDef) -> bytes:
@@ -189,11 +193,12 @@ def export_tflite(graph: GraphDef) -> bytes:
         inputs_off = _vec_i32(b, op.inputs)
         outputs_off = _vec_i32(b, op.outputs)
         opts_off = _builtin_options(b, op)
-        operator_offsets.append(_table(b, [
-            (0, "u32", opcode_index[op.opname]),
-            (1, "off", inputs_off), (2, "off", outputs_off),
-            (3, "i8", _OPTIONS_TYPE.get(op.opname, 0)),
-            (4, "off", opts_off)]))
+        slots = [(0, "u32", opcode_index[op.opname]),
+                 (1, "off", inputs_off), (2, "off", outputs_off)]
+        if opts_off is not None:
+            slots += [(3, "i8", _OPTIONS_TYPE.get(op.opname, 0)),
+                      (4, "off", opts_off)]
+        operator_offsets.append(_table(b, slots))
 
     # ---- subgraph / model ------------------------------------------------
     tensors_vec = _vec_offsets(b, tensor_offsets)

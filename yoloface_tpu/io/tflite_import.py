@@ -24,7 +24,7 @@ BUILTIN_OPS: Dict[int, str] = {
     0: "ADD", 1: "AVERAGE_POOL_2D", 2: "CONCATENATION", 3: "CONV_2D",
     4: "DEPTHWISE_CONV_2D", 9: "FULLY_CONNECTED", 14: "LOGISTIC",
     17: "MAX_POOL_2D", 18: "MUL", 22: "RESHAPE", 25: "SOFTMAX",
-    28: "TANH", 34: "PAD", 40: "RELU", 41: "RELU_N1_TO_1", 42: "RELU6",
+    19: "RELU", 20: "RELU_N1_TO_1", 21: "RELU6", 28: "TANH", 34: "PAD",
     45: "RESIZE_BILINEAR", 47: "SPACE_TO_DEPTH", 49: "SQUEEZE",
     53: "STRIDED_SLICE", 73: "LOG", 76: "SQRT", 77: "RSQRT",
     83: "PACK", 87: "LOGICAL_OR", 97: "RESIZE_NEAREST_NEIGHBOR",

@@ -207,3 +207,58 @@ def requantize_int8(x, *, input_zp: int, output_zp: int, qm: int, shift: int):
 def concat_int8(xs: Sequence, axis: int):
     """TFLite int8 CONCATENATION (inputs already share output scale/zp)."""
     return jnp.concatenate(xs, axis=axis)
+
+
+def avgpool_int8(x, *, filter_hw: Tuple[int, int], stride: Tuple[int, int],
+                 padding: str, act_min: int = INT8_MIN,
+                 act_max: int = INT8_MAX):
+    """TFLite AVERAGE_POOL_2D (int8): clipped-window integer mean with
+    round-half-away-from-zero (``(sum +- count/2) / count`` in C semantics).
+    Edge windows divide by the number of VALID taps only, so the divisor is
+    a static per-position array."""
+    n, h, w, c = x.shape
+    fh, fw = filter_hw
+    if padding == "SAME":
+        ph = _same_pad_amounts(h, stride[0], fh)
+        pw = _same_pad_amounts(w, stride[1], fw)
+    else:
+        ph = pw = (0, 0)
+    pads = [(0, 0), ph, pw, (0, 0)]
+    acc = lax.reduce_window(
+        x.astype(jnp.int32), jnp.int32(0), lax.add,
+        window_dimensions=(1, fh, fw, 1),
+        window_strides=(1, stride[0], stride[1], 1), padding=pads)
+    counts = lax.reduce_window(
+        jnp.ones((1, h, w, 1), jnp.int32), jnp.int32(0), lax.add,
+        window_dimensions=(1, fh, fw, 1),
+        window_strides=(1, stride[0], stride[1], 1), padding=pads)
+    half = counts // 2
+    mean = jnp.where(acc >= 0, (acc + half) // counts,
+                     -((-acc + half) // counts))
+    return jnp.clip(mean, act_min, act_max).astype(jnp.int8)
+
+
+def logistic_int8(x, *, input_scale: float, input_zp: int):
+    """TFLite LOGISTIC (int8): fixed output quantization scale 1/256,
+    zero-point -128; computed in float32 like the reference kernel."""
+    v = (x.astype(jnp.float32) - input_zp) * input_scale
+    y = 1.0 / (1.0 + jnp.exp(-v))
+    return jnp.clip(jnp.round(y * 256.0) - 128, INT8_MIN,
+                    INT8_MAX).astype(jnp.int8)
+
+
+def relu_int8(x, *, zero_point: int):
+    """TFLite RELU (int8): max(x, zp), same quantization in/out."""
+    return jnp.maximum(x, jnp.int8(zero_point))
+
+
+def relu6_int8(x, *, scale: float, zero_point: int):
+    """TFLite RELU6 (int8): clamp to the quantized [0, 6] range."""
+    lo = int(zero_point)
+    hi = int(round(6.0 / scale) + zero_point)
+    return jnp.clip(x, max(lo, INT8_MIN), min(hi, INT8_MAX)).astype(jnp.int8)
+
+
+def reshape_int8(x, new_shape):
+    """TFLite RESHAPE: batch-aware (leading dim preserved)."""
+    return x.reshape((x.shape[0],) + tuple(int(d) for d in new_shape[1:]))

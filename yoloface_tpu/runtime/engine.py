@@ -219,6 +219,46 @@ class Int8Engine:
             def fn(env, idxs=idxs, axis=axis):
                 return ops.concat_int8([env[i] for i in idxs], axis)
 
+        elif name == "AVERAGE_POOL_2D":
+            (x_idx,) = op.inputs
+            kw = dict(filter_hw=(op.attrs["filter_h"], op.attrs["filter_w"]),
+                      stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
+                      padding=op.attrs["padding"])
+
+            def fn(env, x_idx=x_idx, kw=kw):
+                return ops.avgpool_int8(env[x_idx], **kw)
+
+        elif name == "LOGISTIC":
+            (x_idx,) = op.inputs
+            in_q = t(x_idx).qparams
+            kw = dict(input_scale=float(in_q.scale),
+                      input_zp=in_q.zero_point)
+
+            def fn(env, x_idx=x_idx, kw=kw):
+                return ops.logistic_int8(env[x_idx], **kw)
+
+        elif name == "RELU":
+            (x_idx,) = op.inputs
+            zp = t(x_idx).qparams.zero_point
+
+            def fn(env, x_idx=x_idx, zp=zp):
+                return ops.relu_int8(env[x_idx], zero_point=zp)
+
+        elif name == "RELU6":
+            (x_idx,) = op.inputs
+            q = t(x_idx).qparams
+
+            def fn(env, x_idx=x_idx, q=q):
+                return ops.relu6_int8(env[x_idx], scale=float(q.scale),
+                                      zero_point=q.zero_point)
+
+        elif name == "RESHAPE":
+            x_idx = op.inputs[0]
+            new_shape = tuple(t(out_idx).shape)
+
+            def fn(env, x_idx=x_idx, new_shape=new_shape):
+                return ops.reshape_int8(env[x_idx], new_shape)
+
         else:
             raise NotImplementedError(f"op {name} not supported")
 
