@@ -94,3 +94,29 @@ def test_reshape():
         -128, 128, (1, 4, 4, 8), dtype=np.int64).astype(np.int8)
     got, want = run_both(g, x)
     np.testing.assert_array_equal(got, want)
+
+
+def test_composite_classifier_head():
+    """A mobilenet-style tail: AVERAGE_POOL -> RESHAPE -> LOGISTIC, one
+    graph through exporter + stock interpreter + our engine."""
+    q = QParams((0.04,), (-3,))
+    tensors = [
+        TensorDef(0, "in", (1, 8, 8, 16), np.dtype(np.int8), q),
+        TensorDef(1, "pooled", (1, 1, 1, 16), np.dtype(np.int8), q),
+        TensorDef(2, "flat", (1, 16), np.dtype(np.int8), q),
+        TensorDef(3, "probs", (1, 16), np.dtype(np.int8),
+                  QParams((1.0 / 256,), (-128,))),
+    ]
+    ops = [
+        OpDef(0, "AVERAGE_POOL_2D",
+              [0], [1], {"padding": "VALID", "stride_w": 1, "stride_h": 1,
+                         "filter_w": 8, "filter_h": 8,
+                         "activation": "NONE"}),
+        OpDef(1, "RESHAPE", [1], [2], {"new_shape": [1, 16]}),
+        OpDef(2, "LOGISTIC", [2], [3], {}),
+    ]
+    g = GraphDef(tensors, ops, [0], [3])
+    x = np.random.default_rng(9).integers(
+        -128, 128, (1, 8, 8, 16), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)
