@@ -120,3 +120,28 @@ def test_composite_classifier_head():
         -128, 128, (1, 8, 8, 16), dtype=np.int64).astype(np.int8)
     got, want = run_both(g, x)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fully_connected_bit_exact():
+    """int8 FULLY_CONNECTED (per-tensor weights) vs the stock reference
+    kernel."""
+    rng = np.random.default_rng(11)
+    k, co = 24, 10
+    w = rng.integers(-90, 90, (co, k), dtype=np.int64).astype(np.int8)
+    b = rng.integers(-500, 500, co).astype(np.int32)
+    in_q = QParams((0.05,), (4,))
+    w_q = QParams((0.02,), (0,))
+    out_q = QParams((0.11,), (-7,))
+    tensors = [
+        TensorDef(0, "in", (1, k), np.dtype(np.int8), in_q),
+        TensorDef(1, "w", (co, k), np.dtype(np.int8), w_q, data=w),
+        TensorDef(2, "b", (co,), np.dtype(np.int32),
+                  QParams((0.05 * 0.02,), (0,)), data=b),
+        TensorDef(3, "out", (1, co), np.dtype(np.int8), out_q),
+    ]
+    g = GraphDef(tensors,
+                 [OpDef(0, "FULLY_CONNECTED", [0, 1, 2], [3],
+                        {"activation": "NONE"})], [0], [3])
+    x = rng.integers(-128, 128, (1, k), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)

@@ -27,15 +27,18 @@ _BUILTIN_CODE = {
     "MAX_POOL_2D": 17, "PAD": 34, "LEAKY_RELU": 98, "QUANTIZE": 114,
     "AVERAGE_POOL_2D": 1, "RESHAPE": 22, "LOGISTIC": 14,
     "RELU": 19, "RELU_N1_TO_1": 20, "RELU6": 21,
+    "FULLY_CONNECTED": 9, "SOFTMAX": 25,
 }
 _OPTIONS_TYPE = {   # BuiltinOptions union discriminants
     "CONV_2D": 1, "DEPTHWISE_CONV_2D": 2, "MAX_POOL_2D": 5,
     "AVERAGE_POOL_2D": 5, "CONCATENATION": 10, "ADD": 11, "PAD": 22,
     "LEAKY_RELU": 75, "QUANTIZE": 89, "RESHAPE": 17,
+    "FULLY_CONNECTED": 8, "SOFTMAX": 9,
 }
 _OP_VERSION = {"CONV_2D": 3, "DEPTHWISE_CONV_2D": 3, "ADD": 2,
                "MAX_POOL_2D": 2, "CONCATENATION": 2, "PAD": 2,
-               "LEAKY_RELU": 2, "QUANTIZE": 2}
+               "LEAKY_RELU": 2, "QUANTIZE": 2, "FULLY_CONNECTED": 4,
+               "SOFTMAX": 2}
 _DTYPE_CODE = {np.dtype(np.float32): 0, np.dtype(np.int32): 2,
                np.dtype(np.uint8): 3, np.dtype(np.int64): 4,
                np.dtype(np.int8): 9}
@@ -130,6 +133,11 @@ def _builtin_options(b: flatbuffers.Builder, op: OpDef) -> int:
     if name == "RESHAPE":
         shape_off = _vec_i32(b, a["new_shape"])
         return _table(b, [(0, "off", shape_off)])
+    if name == "FULLY_CONNECTED":
+        return _table(b, [(0, "i8", _ACTIVATION[a.get("activation",
+                                                      "NONE")])])
+    if name == "SOFTMAX":
+        return _table(b, [(0, "f32", a.get("beta", 1.0))])
     return None  # ops without a builtin-options table (LOGISTIC, RELU, ...)
 
 

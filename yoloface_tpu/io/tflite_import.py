@@ -95,6 +95,14 @@ def _reshape_options(t: Table) -> Dict[str, Any]:
     return {"new_shape": t.scalar_vector(0, "i32")}
 
 
+def _fc_options(t: Table) -> Dict[str, Any]:
+    return {"activation": _ACTIVATION[t.scalar(0, "i8", 0)]}
+
+
+def _softmax_options(t: Table) -> Dict[str, Any]:
+    return {"beta": t.scalar(0, "f32", 1.0)}
+
+
 # Operator.builtin_options is a union; the option-table parser to use is
 # keyed by the *resolved op name* (sufficient here — each of these ops has a
 # unique options table).
@@ -107,6 +115,8 @@ _OPTION_PARSERS = {
     "ADD": _add_options,
     "LEAKY_RELU": _leaky_relu_options,
     "RESHAPE": _reshape_options,
+    "FULLY_CONNECTED": _fc_options,
+    "SOFTMAX": _softmax_options,
 }
 
 

@@ -262,3 +262,30 @@ def relu6_int8(x, *, scale: float, zero_point: int):
 def reshape_int8(x, new_shape):
     """TFLite RESHAPE: batch-aware (leading dim preserved)."""
     return x.reshape((x.shape[0],) + tuple(int(d) for d in new_shape[1:]))
+
+
+def fully_connected_int8(
+    x,                      # int8 [N, K] (or [N, ..., K] flattened by caller)
+    weights: np.ndarray,    # int8 [Co, K]
+    bias,                   # int32 [Co] or None
+    *,
+    input_zp: int,
+    output_zp: int,
+    qm,                     # int32 scalar or [Co]
+    shift,
+    act_min: int = INT8_MIN,
+    act_max: int = INT8_MAX,
+):
+    """TFLite ``reference_integer_ops::FullyConnected``, bit-exact: the 1x1
+    conv math on a flat feature axis (per-tensor or per-channel weights)."""
+    acc = lax.dot_general(x, jnp.asarray(weights),
+                          (((x.ndim - 1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    zp_corr = (weights.astype(np.int64).sum(axis=1)
+               * int(input_zp)).astype(np.int32)
+    b = (bias.astype(np.int32) if bias is not None
+         else np.zeros(weights.shape[0], np.int32))
+    acc = acc + jnp.asarray(b - zp_corr, jnp.int32)
+    out = multiply_by_quantized_multiplier(
+        acc, jnp.asarray(qm), jnp.asarray(shift)) + jnp.int32(output_zp)
+    return jnp.clip(out, act_min, act_max).astype(jnp.int8)

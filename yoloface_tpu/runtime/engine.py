@@ -252,6 +252,27 @@ class Int8Engine:
                 return ops.relu6_int8(env[x_idx], scale=float(q.scale),
                                       zero_point=q.zero_point)
 
+        elif name == "FULLY_CONNECTED":
+            x_idx, w_idx = op.inputs[0], op.inputs[1]
+            b_idx = op.inputs[2] if len(op.inputs) > 2 else -1
+            w = t(w_idx)
+            in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
+            s_in = np.float64(in_q.scale)
+            s_w = np.asarray(w.qparams.scales, np.float64)
+            s_out = np.float64(out_q.scale)
+            if self.mode == "exact" or True:  # FC always exact (cheap)
+                qm, shift = quantize_multiplier_arr(s_in * s_w / s_out)
+                if qm.size == 1:
+                    qm, shift = int(qm[0]), int(shift[0])
+            bias = (t(b_idx).data.astype(np.int32)
+                    if b_idx >= 0 and t(b_idx).data is not None else None)
+            kw = dict(weights=w.data, bias=bias,
+                      input_zp=in_q.zero_point, output_zp=out_q.zero_point,
+                      qm=qm, shift=shift)
+
+            def fn(env, x_idx=x_idx, kw=kw):
+                return ops.fully_connected_int8(env[x_idx], **kw)
+
         elif name == "RESHAPE":
             x_idx = op.inputs[0]
             new_shape = tuple(t(out_idx).shape)
