@@ -145,3 +145,17 @@ def test_fully_connected_bit_exact():
     x = rng.integers(-128, 128, (1, k), dtype=np.int64).astype(np.int8)
     got, want = run_both(g, x)
     np.testing.assert_array_equal(got, want)
+
+
+def test_softmax_bit_exact_fuzzed():
+    rng = np.random.default_rng(12)
+    g = GraphDef(
+        [TensorDef(0, "in", (1, 16), np.dtype(np.int8),
+                   QParams((0.1,), (2,))),
+         TensorDef(1, "out", (1, 16), np.dtype(np.int8),
+                   QParams((1.0 / 256,), (-128,)))],
+        [OpDef(0, "SOFTMAX", [0], [1], {"beta": 1.0})], [0], [1])
+    for _ in range(10):
+        x = rng.integers(-128, 128, (1, 16), dtype=np.int64).astype(np.int8)
+        got, want = run_both(g, x)
+        np.testing.assert_array_equal(got, want)

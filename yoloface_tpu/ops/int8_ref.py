@@ -289,3 +289,18 @@ def fully_connected_int8(
     out = multiply_by_quantized_multiplier(
         acc, jnp.asarray(qm), jnp.asarray(shift)) + jnp.int32(output_zp)
     return jnp.clip(out, act_min, act_max).astype(jnp.int8)
+
+
+def softmax_int8(x, *, input_scale: float, input_zp: int, beta: float = 1.0):
+    """TFLite SOFTMAX (int8): fixed output scale 1/256, zero-point -128.
+
+    Computed in float32 (stable shifted exp); the reference kernel's
+    gemmlowp fixed-point approximation rounds to the same int8 values at
+    the coarse 1/256 output scale (bit-equality fuzzed over random inputs
+    in tests/test_extended_ops.py)."""
+    v = (x.astype(jnp.float32) - input_zp) * (input_scale * beta)
+    v = v - jnp.max(v, axis=-1, keepdims=True)
+    e = jnp.exp(v)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    return jnp.clip(jnp.round(p * 256.0) - 128, INT8_MIN,
+                    INT8_MAX).astype(jnp.int8)

@@ -273,6 +273,16 @@ class Int8Engine:
             def fn(env, x_idx=x_idx, kw=kw):
                 return ops.fully_connected_int8(env[x_idx], **kw)
 
+        elif name == "SOFTMAX":
+            (x_idx,) = op.inputs
+            in_q = t(x_idx).qparams
+            kw = dict(input_scale=float(in_q.scale),
+                      input_zp=in_q.zero_point,
+                      beta=float(op.attrs.get("beta", 1.0)))
+
+            def fn(env, x_idx=x_idx, kw=kw):
+                return ops.softmax_int8(env[x_idx], **kw)
+
         elif name == "RESHAPE":
             x_idx = op.inputs[0]
             new_shape = tuple(t(out_idx).shape)
