@@ -112,3 +112,19 @@ def test_v3_target_and_train_step():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_v3_trainer_multiscale_mosaic():
+    """The v3 trainer loop runs with mosaic batches at multiple scales and
+    produces finite losses (yolov3_train_tf.py's multiscale_training +
+    mosaic_augmentation wiring)."""
+    from yoloface_tpu.train.yolov3 import YoloV3Trainer
+    cfg = YoloV3Config(img_size=128, multiscale=True, multiscale_min=96,
+                       multiscale_max=160, mosaic=True, batch_size=2,
+                       epochs=3)
+    tr = YoloV3Trainer(cfg, "/root/reference/yoloface/small_dataset",
+                       seed=1)
+    hist = tr.fit(epochs=3, steps_per_epoch=2, batch=2)
+    assert len(hist) == 3
+    assert all(np.isfinite(hist))
+    assert all(96 <= s <= 160 and s % 32 == 0 for s in tr.scales_used)

@@ -235,3 +235,73 @@ def make_v3_train_step(cfg: YoloV3Config, model: Optional[YoloFace] = None):
                 {"loss": loss})
 
     return init, step
+
+
+class YoloV3Trainer:
+    """Multiscale + mosaic training loop (yolov3_train_tf.py:299-347,
+    583-655): each epoch samples a stride-32 image size from
+    [multiscale_min, multiscale_max]; batches are built by mosaic
+    composition of 4 dataset images.  The jitted step recompiles per scale
+    (cached; the model is fully convolutional)."""
+
+    def __init__(self, cfg: YoloV3Config, img_dir: str, seed: int = 0):
+        import os
+
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.files = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir)
+            if f.lower().endswith((".jpg", ".jpeg", ".png")))
+        if not self.files:
+            raise ValueError(f"no images in {img_dir}")
+        self.init_fn, self.step = make_v3_train_step(cfg)
+        self.state = self.init_fn(jax.random.PRNGKey(seed))
+        self.scales_used = []
+
+    def _load(self, path):
+        import cv2
+
+        from yoloface_tpu.train.data import load_labels_for
+
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        labels = load_labels_for(path)
+        # [cx,cy,w,h,cls] -> [cls,cx,cy,w,h] (mosaic convention)
+        lab = labels[:, [4, 0, 1, 2, 3]]
+        return img, lab
+
+    def _make_batch(self, img_size: int, batch: int):
+        imgs, tgts = [], []
+        cfg = YoloV3Config(**{**self.cfg.__dict__, "img_size": img_size})
+        for _ in range(batch):
+            if self.cfg.mosaic:
+                quad = [self._load(self.files[int(
+                    self.rng.integers(0, len(self.files)))])
+                    for _ in range(4)]
+                mosaic, lab = mosaic_augmentation(
+                    [q[0] for q in quad], [q[1] for q in quad],
+                    img_size, self.rng)
+            else:
+                mosaic, lab = self._load(self.files[int(
+                    self.rng.integers(0, len(self.files)))])
+                import cv2
+                mosaic = cv2.resize(mosaic, (img_size, img_size))
+            imgs.append(mosaic.astype(np.float32) / 255.0)
+            tgts.append(build_v3_target(lab, cfg))
+        return np.stack(imgs), np.stack(tgts)
+
+    def fit(self, epochs: int, steps_per_epoch: int = 4,
+            batch: Optional[int] = None):
+        batch = batch or self.cfg.batch_size
+        history = []
+        for epoch in range(epochs):
+            size = self.cfg.sample_scale(self.rng)
+            self.scales_used.append(size)
+            losses = []
+            for _ in range(steps_per_epoch):
+                imgs, tgts = self._make_batch(size, batch)
+                self.state, m = self.step(self.state, imgs, tgts)
+                losses.append(float(m["loss"]))
+            history.append(float(np.mean(losses)))
+            print(f"v3 epoch {epoch + 1}/{epochs} size={size} "
+                  f"loss={history[-1]:.3f}")
+        return history
