@@ -32,3 +32,21 @@ def test_batch_mode(tmp_path, capsys):
     data = json.loads(report.read_text())
     assert data["inputs"] == 27
     assert data["faces"] >= 20
+
+
+def test_video_mode(tmp_path):
+    """detect --video on a synthesized MJPG clip of dataset faces."""
+    import cv2
+    import numpy as np
+    vid = str(tmp_path / "faces.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 5, (112, 112))
+    for f in sorted(os.listdir(DATASET))[:4]:
+        img = cv2.imread(os.path.join(DATASET, f))
+        w.write(cv2.resize(img, (112, 112)))
+    w.release()
+    report = tmp_path / "v.json"
+    rc = detect.main(["--video", vid, "--report", str(report)])
+    assert rc == 0
+    data = json.loads(report.read_text())
+    assert data["inputs"] == 4
+    assert data["faces"] >= 3  # MJPG compression may cost a borderline one

@@ -159,3 +159,29 @@ def test_softmax_bit_exact_fuzzed():
         x = rng.integers(-128, 128, (1, 16), dtype=np.int64).astype(np.int8)
         got, want = run_both(g, x)
         np.testing.assert_array_equal(got, want)
+
+
+def test_fully_connected_per_channel():
+    """FC with per-channel weight quantization (quantized_dimension=0)."""
+    rng = np.random.default_rng(13)
+    k, co = 16, 6
+    w = rng.integers(-100, 100, (co, k), dtype=np.int64).astype(np.int8)
+    b = rng.integers(-300, 300, co).astype(np.int32)
+    scales = tuple(float(s) for s in rng.uniform(0.01, 0.05, co))
+    in_q = QParams((0.06,), (-2,))
+    tensors = [
+        TensorDef(0, "in", (1, k), np.dtype(np.int8), in_q),
+        TensorDef(1, "w", (co, k), np.dtype(np.int8),
+                  QParams(scales, (0,) * co, 0), data=w),
+        TensorDef(2, "b", (co,), np.dtype(np.int32),
+                  QParams(tuple(0.06 * s for s in scales), (0,) * co, 0),
+                  data=b),
+        TensorDef(3, "out", (1, co), np.dtype(np.int8),
+                  QParams((0.2,), (5,))),
+    ]
+    g = GraphDef(tensors,
+                 [OpDef(0, "FULLY_CONNECTED", [0, 1, 2], [3],
+                        {"activation": "NONE"})], [0], [3])
+    x = rng.integers(-128, 128, (1, k), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)
