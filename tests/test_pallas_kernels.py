@@ -87,3 +87,21 @@ def test_pallas_conv1x1_kernel_standalone():
     want = np.clip(np.round(acc.astype(np.float64) * 0.01) + 3,
                    -128, 127).astype(np.int8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_stage_partition_budgets(int8_graph, random_batch,
+                                       monkeypatch):
+    """The stage partitioner must produce bit-identical results at any
+    budget (many tiny stages or one mega-stage)."""
+    from yoloface_tpu.kernels import pallas_fused
+    want = np.asarray(Int8Engine(int8_graph, mode="fast")(random_batch))
+    for budget in (1, 512 * 1024, 10**9):
+        monkeypatch.setattr(pallas_fused, "STAGE_BUDGET_BYTES", budget)
+        eng = Int8Engine(int8_graph, mode="pallas_fused")
+        got = np.asarray(eng(random_batch))
+        np.testing.assert_array_equal(got, want, err_msg=f"budget={budget}")
+    n_many = len(Int8Engine(int8_graph, mode="pallas_fused")._plan)
+    monkeypatch.setattr(pallas_fused, "STAGE_BUDGET_BYTES", 10**9)
+    assert len(Int8Engine(int8_graph, mode="pallas_fused")._plan) == 1
+    monkeypatch.setattr(pallas_fused, "STAGE_BUDGET_BYTES", 1)
+    assert len(Int8Engine(int8_graph, mode="pallas_fused")._plan) > 20

@@ -37,8 +37,13 @@ from yoloface_tpu.kernels.pallas_int8 import (LeakySpec, RequantSpec,
                                               _interpret_mode)
 from yoloface_tpu.ops.int8_ref import _same_pad_amounts
 
+import os
+
 NT = 128
-STAGE_BUDGET_BYTES = 6 * 1024 * 1024   # est. live activations per stage
+# estimated live-activation bytes per stage; override to tune stage count
+# (YOLOFACE_TPU_STAGE_BUDGET=999999999 -> single whole-net mega-kernel)
+STAGE_BUDGET_BYTES = int(os.environ.get(
+    "YOLOFACE_TPU_STAGE_BUDGET", 6 * 1024 * 1024))
 
 
 # --------------------------------------------------------------------------
@@ -463,9 +468,11 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
 # stage partitioning + pallas_call assembly
 # --------------------------------------------------------------------------
 def partition_stages(fused_ops: List[FusedOp], graph: GraphDef,
-                     budget: int = STAGE_BUDGET_BYTES) -> List[List[FusedOp]]:
+                     budget: Optional[int] = None) -> List[List[FusedOp]]:
     """Greedy: extend the current stage while the estimated bytes of live
     activations stays under budget; cut otherwise."""
+    if budget is None:
+        budget = STAGE_BUDGET_BYTES   # resolved at call time (test knob)
     stages: List[List[FusedOp]] = []
     cur: List[FusedOp] = []
     cur_bytes = 0
