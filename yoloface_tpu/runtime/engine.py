@@ -55,6 +55,11 @@ class Int8Engine:
             raise ValueError(f"unknown engine mode {mode!r}")
         self.mode = mode
         self.graph = graph
+        if len(graph.inputs) != 1 or len(graph.outputs) != 1:
+            raise ValueError(
+                f"Int8Engine supports single-input/single-output graphs; "
+                f"got {len(graph.inputs)} inputs / {len(graph.outputs)} "
+                f"outputs")
         self.input_idx = graph.inputs[0]
         self.output_idx = graph.outputs[0]
         in_t = graph.tensor(self.input_idx)
