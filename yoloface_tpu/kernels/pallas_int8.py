@@ -5,12 +5,15 @@ The TPU-native replacement for the reference's binary kernel library
 ``forward_mp_integer_INT8`` …, headers in
 ``stm32/Middlewares/ST/AI/Inc/layers_*.h``).
 
-Layout: activations live as ``[C, H, W, N]`` int8 — channels/height plain
-dims, W in sublanes, batch N in lanes — so tiny channel counts (3..48) never
-pad to the 128-wide vector registers the way NHWC convolutions do in XLA
-(measured 4.7x faster than XLA's ``lax.conv`` for the 1x1 convs at batch
-8192).  The grid tiles the batch; each program processes ``NT`` frames with
-all weights resident in VMEM.
+Layout: activations live as ``[C, dim1, dim2, N]`` int8 — channels and
+dim1 are plain dims, dim2 rides in sublanes, batch N in lanes.  The engine
+feeds ``[C, W, H, N]`` (H in sublanes: H pads only to multiples of 8,
+avoiding the 4.5x sublane waste 7-wide dims would pay) and passes spatially
+transposed weights/pads, so the kernels themselves are written dimension-
+symmetrically.  Tiny channel counts (3..48) never pad to 128-wide registers
+the way NHWC convolutions do in XLA (the 1x1 conv kernel measured 4.7x
+faster than XLA's ``lax.conv`` at batch 8192).  The grid tiles the batch;
+each program processes ``NT`` frames with all weights resident in VMEM.
 
 Requantization inside kernels supports both engine semantics:
   * fast: int32 accum -> float32 scale -> round-half-even -> clamp

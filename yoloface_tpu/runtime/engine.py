@@ -44,11 +44,15 @@ class Int8Engine:
           * "fast" — XLA ops, float32 requantization (~2x faster; diverges
             from exact by the same class of rounding drift as TFLite's own
             optimized backends vs its reference kernels);
-          * "pallas" — Pallas TPU kernels in [C,H,W,N] layout with fused
-            conv+leaky, float requant (bit-identical to "fast"; the serving
-            hot path, ~4-5x faster convs than XLA);
-          * "pallas_exact" — same kernels with fixed-point requant
-            (bit-identical to "exact").
+          * "pallas" — one Pallas TPU kernel per op in [C,W,H,N] layout
+            with fused conv+leaky, float requant (bit-identical to "fast");
+          * "pallas_exact" — same kernels, fixed-point requant
+            (bit-identical to "exact");
+          * "pallas_fused[_exact]" — the whole net as a few fused-stage
+            kernels (see kernels/pallas_fused.py; stage count tunable down
+            to a single mega-kernel).
+        All six modes are validated bit-exactly; "fast" is the current
+        fastest serving path (see CLAUDE.md perf notes).
         """
         if mode not in ("exact", "fast", "pallas", "pallas_exact",
                         "pallas_fused", "pallas_fused_exact"):
