@@ -50,7 +50,8 @@ def main(argv=None):
     p.add_argument("--tflite",
                    default="/root/reference/yoloface/tflite/yoloface_int8.tflite")
     p.add_argument("--mode", default="exact",
-                   choices=["exact", "fast", "pallas", "pallas_exact"])
+                   choices=["exact", "fast", "pallas", "pallas_exact",
+                            "pallas_fused", "pallas_fused_exact"])
     p.add_argument("--conf", type=float, default=0.7)
     p.add_argument("--iou", type=float, default=0.5)
     p.add_argument("--image", help="single image path")

@@ -85,6 +85,17 @@ class CameraStreamer:
         self._frame_shape = None
         self._frame_dtype = None
 
+    def _put(self, token) -> bool:
+        """Bounded put that re-checks _stop: if run() finishes while the
+        queue is full, the producer must not block forever (thread leak)."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(token, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce(self):
         from yoloface_tpu.host import native
         for frames in self.source:
@@ -101,10 +112,12 @@ class CameraStreamer:
             if (self._ring is not None
                     and frames.shape == self._frame_shape):
                 self._ring.push(np.ascontiguousarray(frames))
-                self._q.put(("ring",))
+                if not self._put(("ring",)):
+                    return
             else:
-                self._q.put(("arr", frames))
-        self._q.put(None)
+                if not self._put(("arr", frames)):
+                    return
+        self._put(None)
 
     def _next_batch(self):
         token = self._q.get()

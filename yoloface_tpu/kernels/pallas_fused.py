@@ -195,6 +195,8 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                                _nbytes(out_t)))
 
         elif name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            from yoloface_tpu.runtime.engine import _check_no_dilation
+            _check_no_dilation(op)
             x_idx, w_idx, b_idx = op.inputs
             w, b = t(w_idx), t(b_idx)
             in_q, out_q = t(x_idx).qparams, out_t.qparams

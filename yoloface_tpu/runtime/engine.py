@@ -34,6 +34,16 @@ from yoloface_tpu.ops import int8_fast as fast_ops
 from yoloface_tpu.ops import int8_ref as ops
 
 
+def _check_no_dilation(op: "OpDef") -> None:
+    """Dilated int8 convs are not implemented in any lowering; failing loudly
+    beats silently running them as dilation=1 (wrong outputs)."""
+    dw = op.attrs.get("dilation_w", 1)
+    dh = op.attrs.get("dilation_h", 1)
+    if dw != 1 or dh != 1:
+        raise NotImplementedError(
+            f"{op.opname} with dilation ({dh},{dw}) is not supported")
+
+
 class Int8Engine:
     """Executes an imported int8 TFLite graph bit-exactly on TPU via XLA."""
 
@@ -117,6 +127,7 @@ class Int8Engine:
                 return ops.pad_int8(env[data_idx], paddings, zp)
 
         elif name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            _check_no_dilation(op)
             x_idx, w_idx, b_idx = op.inputs
             w, b = t(w_idx), t(b_idx)
             in_q, out_q = t(x_idx).qparams, t(out_idx).qparams

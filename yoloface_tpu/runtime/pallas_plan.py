@@ -96,6 +96,8 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                 return pk.pad_int8(env[data_idx], pads, zp)
 
         elif name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            from yoloface_tpu.runtime.engine import _check_no_dilation
+            _check_no_dilation(op)
             x_idx, w_idx, b_idx = op.inputs
             w, b = t(w_idx), t(b_idx)
             in_q = t(x_idx).qparams

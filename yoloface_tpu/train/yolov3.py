@@ -50,6 +50,10 @@ class YoloV3Config:
     multiscale_max: int = 608
     mosaic: bool = True
     stride: int = 8
+    # optax schedules advance per optimizer update; warmup/decay horizons in
+    # make_v3_train_step are epochs * steps_per_epoch steps (keep in sync
+    # with the steps_per_epoch passed to YoloV3Trainer.fit)
+    steps_per_epoch: int = 4
 
     @property
     def anchors(self) -> np.ndarray:
@@ -200,9 +204,10 @@ def make_v3_train_step(cfg: YoloV3Config, model: Optional[YoloFace] = None):
     """Jitted v3 train step (per img_size — multiscale recompiles per
     scale, cached)."""
     model = model or YoloFace()
+    spe = max(1, cfg.steps_per_epoch)
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, cfg.learning_rate, cfg.warmup_epochs,
-        max(cfg.epochs, cfg.warmup_epochs + 1))
+        0.0, cfg.learning_rate, cfg.warmup_epochs * spe,
+        max(cfg.epochs, cfg.warmup_epochs + 1) * spe)
     tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
     anchors = jnp.asarray(cfg.anchors)
 
@@ -289,9 +294,10 @@ class YoloV3Trainer:
             tgts.append(build_v3_target(lab, cfg))
         return np.stack(imgs), np.stack(tgts)
 
-    def fit(self, epochs: int, steps_per_epoch: int = 4,
+    def fit(self, epochs: int, steps_per_epoch: Optional[int] = None,
             batch: Optional[int] = None):
         batch = batch or self.cfg.batch_size
+        steps_per_epoch = steps_per_epoch or self.cfg.steps_per_epoch
         history = []
         for epoch in range(epochs):
             size = self.cfg.sample_scale(self.rng)
