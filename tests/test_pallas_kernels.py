@@ -44,6 +44,36 @@ def test_fused_stages_bitexact(int8_graph, random_batch):
     np.testing.assert_array_equal(ype, ye)
 
 
+def test_arena_stages_bitexact(int8_graph, random_batch):
+    """The arena plan (VMEM ref arena, padded views, concat aliasing)
+    matches both requant semantics bit-for-bit."""
+    yf = np.asarray(Int8Engine(int8_graph, mode="fast")(random_batch))
+    yp = np.asarray(Int8Engine(int8_graph,
+                               mode="pallas_arena")(random_batch))
+    np.testing.assert_array_equal(yp, yf)
+    ye = np.asarray(Int8Engine(int8_graph, mode="exact")(random_batch))
+    ype = np.asarray(Int8Engine(int8_graph,
+                                mode="pallas_arena_exact")(random_batch))
+    np.testing.assert_array_equal(ype, ye)
+
+
+def test_arena_partition_budgets(int8_graph, random_batch, monkeypatch):
+    """Arena stage partitioning is semantics-preserving at any budget:
+    mega-kernel (one stage, all aliasing active) down to one-op stages
+    (every tensor crosses stage boundaries through HBM)."""
+    from yoloface_tpu.kernels import pallas_arena
+    want = np.asarray(Int8Engine(int8_graph, mode="fast")(random_batch))
+    for budget in (1, 8 << 20, 10**9):
+        monkeypatch.setattr(pallas_arena, "ARENA_BUDGET", budget)
+        eng = Int8Engine(int8_graph, mode="pallas_arena")
+        got = np.asarray(eng(random_batch))
+        np.testing.assert_array_equal(got, want, err_msg=f"budget={budget}")
+    monkeypatch.setattr(pallas_arena, "ARENA_BUDGET", 10**9)
+    assert len(Int8Engine(int8_graph, mode="pallas_arena")._plan) == 1
+    monkeypatch.setattr(pallas_arena, "ARENA_BUDGET", 1)
+    assert len(Int8Engine(int8_graph, mode="pallas_arena")._plan) > 20
+
+
 def test_pallas_exact_all_intermediates(int8_graph, dataset_images):
     """Every surviving tensor (conv+leaky fusion skips the pre-activation
     conv outputs) matches the exact XLA engine bit-for-bit."""

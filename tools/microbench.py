@@ -1,0 +1,259 @@
+"""In-kernel cost isolation for the Pallas int8 kernels (run on real TPU).
+
+Times one dw-conv-shaped Pallas kernel per variant, chained sequentially
+inside a single jit (each call's output feeds the next call's input, so XLA
+cannot elide or overlap iterations), with a scalar fetch as the sync point.
+
+Variants isolate: the pure tile-copy floor, int8->int32 widening loads,
+sublane-offset window reads, strided (stride-2) ref reads, the float32
+requant chain, the exact gemmlowp chain, and an all-int32 arena.
+
+Usage: python tools/microbench.py [batch] [C] [S]   (defaults 32768 8 28)
+"""
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def conv1x1_probe():
+    """How does Mosaic lower dot_general on [Ci,W,H,N]?  Compare the 4D
+    dot_general, a per-W-column 3D dot_general, and an explicit FMA loop at
+    a representative 1x1-conv shape.  Usage:
+        python tools/microbench.py conv1x1 [batch] [Ci] [Co] [S]
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    argv = sys.argv[2:]
+    batch = int(argv[0]) if len(argv) > 0 else 32768
+    CI = int(argv[1]) if len(argv) > 1 else 36
+    CO = int(argv[2]) if len(argv) > 2 else 24
+    S = int(argv[3]) if len(argv) > 3 else 14
+    NT = 128
+    REPS = 20
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-128, 128, (CI, S, S, batch)), jnp.int8)
+    w = jnp.asarray(rng.integers(-64, 64, (CI, CO)), jnp.int8)
+
+    def pcall(kern):
+        def call(y):
+            return pl.pallas_call(
+                kern,
+                grid=(batch // NT,),
+                in_specs=[
+                    pl.BlockSpec((CI, S, S, NT), lambda i: (0, 0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((CI, CO), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((CI, S, S, NT),
+                                       lambda i: (0, 0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((CI, S, S, batch), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(y, w)
+        return call
+
+    def finish(o, xr, acc):
+        r = jnp.clip(acc >> 7, -128, 127).astype(jnp.int8)
+        o[:CO] = r
+        if CO < CI:
+            o[CO:] = xr[CO:]
+
+    def k_dot4d(xr, wr, o):
+        acc = lax.dot_general(wr[:], xr[:].astype(jnp.int8),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        finish(o, xr, acc)
+
+    def k_dot3d(xr, wr, o):
+        cols = []
+        wv = wr[:]
+        for wcol in range(S):
+            cols.append(lax.dot_general(
+                wv, xr[:, wcol], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32))
+        finish(o, xr, jnp.stack(cols, axis=1))
+
+    def k_fma(xr, wr, o):
+        wv = wr[:].astype(jnp.int32)
+        acc = jnp.zeros((CO, S, S, NT), jnp.int32)
+        for ci in range(CI):
+            col = wv[ci].reshape(CO, 1, 1, 1)
+            acc = acc + xr[ci:ci + 1].astype(jnp.int32) * col
+        finish(o, xr, acc)
+
+    gmac = CI * CO * S * S * batch / 1e9
+
+    def run(name, call):
+        try:
+            def chain(v):
+                for _ in range(REPS):
+                    v = call(v)
+                return v
+            f = jax.jit(chain)
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            t0 = time.perf_counter()
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            ms = (time.perf_counter() - t0) / REPS * 1e3
+            print(f"{name:>22s}: {ms:7.3f} ms/op ({gmac / ms:6.1f} GMAC/ms)",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:>22s}: FAILED {str(e).splitlines()[0][:120]}",
+                  flush=True)
+
+    print(f"1x1 probe Ci={CI} Co={CO} S={S} batch={batch} "
+          f"({gmac:.1f} GMAC/op)", flush=True)
+    run("dot_general 4D", pcall(k_dot4d))
+    run("dot_general 3D perW", pcall(k_dot3d))
+    run("FMA loop", pcall(k_fma))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "conv1x1":
+        conv1x1_probe()
+        return
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from yoloface_tpu.core.fixedpoint import (
+        multiply_by_quantized_multiplier)
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    C = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    S = int(sys.argv[3]) if len(sys.argv) > 3 else 28   # output spatial
+    SP = S + 2
+    NT = 128
+    REPS = 20
+
+    rng = np.random.default_rng(0)
+    x8 = jnp.asarray(rng.integers(-128, 128, (C, SP, SP, batch)), jnp.int8)
+    taps = jnp.asarray(rng.integers(-128, 128, (C, 9)), jnp.int32)
+    scale = jnp.asarray(rng.random((C, 1)) * 0.01 + 0.001, jnp.float32)
+
+    def in_spec(shape, dtype):
+        nd = len(shape)
+        return pl.BlockSpec(tuple(shape[:nd - 1]) + (NT,),
+                            lambda i, nd=nd: (0,) * (nd - 1) + (i,),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(a):
+        nd = a.ndim
+        return pl.BlockSpec(tuple(a.shape),
+                            lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def pcall(kern, dtype, extra=()):
+        def call(y):
+            return pl.pallas_call(
+                kern,
+                grid=(batch // NT,),
+                in_specs=[in_spec(y.shape, dtype)]
+                         + [const_spec(a) for a in extra],
+                out_specs=pl.BlockSpec((C, SP, SP, NT),
+                                       lambda i: (0, 0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((C, SP, SP, batch), dtype),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(y, *extra)
+        return call
+
+    def run_case(name, call, x_in, gmac):
+        def chain(v):
+            for _ in range(REPS):
+                v = call(v)
+            return v
+
+        try:
+            f = jax.jit(chain)
+            y = f(x_in)
+            np.asarray(y[(0,) * y.ndim])
+            t0 = time.perf_counter()
+            y = f(x_in)
+            np.asarray(y[(0,) * y.ndim])
+            ms = (time.perf_counter() - t0) / REPS * 1e3
+            print(f"{name:>30s}: {ms:7.3f} ms/op"
+                  + (f"  ({gmac / max(ms, 1e-9):5.1f} GMAC/ms)"
+                     if gmac else ""), flush=True)
+        except Exception as e:
+            msg = str(e).splitlines()
+            print(f"{name:>30s}: FAILED {type(e).__name__}: "
+                  f"{msg[0] if msg else ''}", flush=True)
+
+    def restore_border(o, xr, r, dt):
+        o[:, :S, :S, :] = r.astype(dt)
+        o[:, S:, :, :] = xr[:, S:, :, :]
+        o[:, :S, S:, :] = xr[:, :S, S:, :]
+
+    def make_case(*, offs=True, stride=1, requant=None, dtype=jnp.int8):
+        so = S // stride
+
+        def kern(xr, wr, scr, o):
+            acc = jnp.zeros((C, so, so, NT), jnp.int32)
+            for dy in range(3):
+                for dx in range(3):
+                    oy, ox = (dy, dx) if offs else (0, 0)
+                    if stride == 1:
+                        sl = xr[:, oy:oy + so, ox:ox + so, :]
+                    else:
+                        sl = xr[:, oy:oy + 2 * so - 1:2,
+                                ox:ox + 2 * so - 1:2, :]
+                    v = sl.astype(jnp.int32) if dtype == jnp.int8 else sl
+                    acc = acc + v * wr[:, dy * 3 + dx].reshape(C, 1, 1, 1)
+            if requant == "fast":
+                r = jnp.round(acc.astype(jnp.float32)
+                              * scr[:].reshape(C, 1, 1, 1))
+                r = jnp.clip(r, -128, 127).astype(jnp.int32)
+            elif requant == "exact":
+                r = multiply_by_quantized_multiplier(
+                    acc, jnp.int32(1518500250), jnp.int32(-7))
+                r = jnp.clip(r, -128, 127)
+            else:
+                r = jnp.clip(acc >> 7, -128, 127)
+            o[:, :so, :so, :] = r.astype(dtype)
+            o[:, so:, :, :] = xr[:, so:, :, :]
+            o[:, :so, so:, :] = xr[:, :so, so:, :]
+
+        return kern, so
+
+    gm = lambda so: C * so * so * batch * 9 / 1e9
+
+    print(f"dw-shaped microbench C={C} S={S} batch={batch}", flush=True)
+
+    def copy_kernel(xr, o):
+        o[:] = xr[:]
+
+    run_case("int8 tile copy", pcall(copy_kernel, jnp.int8), x8, 0)
+
+    for name, kw in [
+        ("taps noffs i8 shift", dict(offs=False)),
+        ("taps offs i8 shift", dict()),
+        ("taps offs i8 fastreq", dict(requant="fast")),
+        ("taps offs i8 exactreq", dict(requant="exact")),
+    ]:
+        kern, so = make_case(**kw)
+        run_case(name, pcall(kern, jnp.int8, (taps, scale)), x8,
+                 gm(so))
+
+    x32 = x8.astype(jnp.int32)
+    for name, kw in [
+        ("taps offs i32-arena shift", dict()),
+        ("taps offs i32-arena stride2", dict(stride=2)),
+        ("taps offs i32-arena fastreq", dict(requant="fast")),
+    ]:
+        kern, so = make_case(dtype=jnp.int32, **kw)
+        run_case(name, pcall(kern, jnp.int32, (taps, scale)), x32,
+                 gm(so))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Per-op / per-mode TPU wall-time attribution for the int8 net.
+
+Usage (on the real TPU — do NOT set JAX_PLATFORMS):
+    python tools/profile_tpu.py perop  [batch] [mode]   # per-op table
+    python tools/profile_tpu.py modes  [batch]          # net-only, all modes
+    python tools/profile_tpu.py trace  [batch] [mode]   # jax.profiler trace
+
+The TPU-native analogue of the reference's static per-node MACC report
+(`network_generate_report.txt:488-515`), measured dynamically.  `modes`
+times the NET ONLY (no preprocess/decode) with in-jit repetition via
+lax.fori_loop-free chaining: the whole net is jitted once and iterated with
+a scalar fetch per step (tunnel-safe; see CLAUDE.md methodology notes).
+"""
+import sys
+import time
+
+import numpy as np
+
+TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
+
+
+def make_input(batch):
+    rng = np.random.default_rng(0)
+    return rng.integers(-128, 128, (batch, 56, 56, 3)).astype(np.int8)
+
+
+def net_ms(engine, x, iters=10):
+    import jax
+
+    x = jax.device_put(x)  # ONE host->device transfer (~60 MB/s tunnel)
+    y = engine(x)
+    np.asarray(y[0, 0, 0, 0])  # compile + real completion
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = engine(x)
+    np.asarray(y[0, 0, 0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from yoloface_tpu.io.tflite_import import load_tflite
+    from yoloface_tpu.runtime.engine import Int8Engine
+    from yoloface_tpu.runtime import profiler
+
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "modes"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+    graph = load_tflite(TFLITE)
+    x = make_input(batch)
+
+    if cmd == "perop":
+        mode = sys.argv[3] if len(sys.argv) > 3 else "pallas"
+        eng = Int8Engine(graph, mode=mode)
+        rows = profiler.profile_engine(eng, x, iters=20, warmup=2)
+        print(profiler.format_profile(rows))
+    elif cmd == "modes":
+        modes = (sys.argv[3].split(",") if len(sys.argv) > 3 else
+                 ["fast", "pallas", "pallas_fused"])
+        for mode in modes:
+            eng = Int8Engine(graph, mode=mode)
+            print(f"{mode:>20s}: {net_ms(eng, x):8.2f} ms @ batch {batch}",
+                  flush=True)
+    elif cmd == "net_cwhn":
+        # net-only time EXCLUDING the NHWC->CWHN input relayout: feed the
+        # plan a device-resident [C,W,H,N] tensor directly
+        import jax
+        import jax.numpy as jnp
+
+        for mode in (sys.argv[3].split(",") if len(sys.argv) > 3
+                     else ["pallas_arena"]):
+            eng = Int8Engine(graph, mode=mode)
+            xc = jax.device_put(np.ascontiguousarray(x.transpose(3, 2, 1, 0)))
+
+            def run_plan(xc, eng=eng):
+                env = {eng.input_idx: xc}
+                for fn in eng._plan:
+                    env[fn.out_idx] = fn(env)
+                return env[eng.output_idx]
+
+            jfn = jax.jit(run_plan)
+            y = jfn(xc)
+            np.asarray(y[(0,) * y.ndim])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                y = jfn(xc)
+            np.asarray(y[(0,) * y.ndim])
+            ms = (time.perf_counter() - t0) / 10 * 1e3
+            print(f"{mode:>20s} (cwhn, no transpose): {ms:8.2f} ms "
+                  f"@ batch {batch}", flush=True)
+    elif cmd == "transpose":
+        import jax
+        import jax.numpy as jnp
+        xd = jax.device_put(x)
+        jfn = jax.jit(lambda v: jnp.transpose(v, (3, 2, 1, 0)))
+        y = jfn(xd)
+        np.asarray(y[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = jfn(xd)
+        np.asarray(y[0, 0, 0, 0])
+        print(f"NHWC->CWHN transpose: "
+              f"{(time.perf_counter() - t0) / 10 * 1e3:.2f} ms")
+    elif cmd == "e2e":
+        # pipeline-stage ablation: preprocess / net / decode / nms deltas
+        import jax
+        import jax.numpy as jnp
+        from yoloface_tpu.pipeline.e2e import FacePipeline
+        from yoloface_tpu.pipeline import head as head_lib
+        from yoloface_tpu.pipeline import preprocess
+
+        mode = sys.argv[3] if len(sys.argv) > 3 else "fast"
+        eng = Int8Engine(graph, mode=mode)
+        pipe = FacePipeline(eng)
+        rng = np.random.default_rng(0)
+        frames = jax.device_put(
+            rng.integers(0, 1 << 16, (batch, 112, 112)).astype(np.uint16))
+
+        def timed(name, fn, arg):
+            jfn = jax.jit(fn)
+            out = jfn(arg)
+            leaf = jax.tree.leaves(out)[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = jfn(arg)
+            leaf = jax.tree.leaves(out)[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
+            ms = (time.perf_counter() - t0) / 10 * 1e3
+            print(f"{name:>28s}: {ms:8.2f} ms", flush=True)
+            return ms
+
+        timed("preprocess only", preprocess.rgb565_to_int8_input, frames)
+        timed("preprocess+net", lambda f: eng._forward(
+            preprocess.rgb565_to_int8_input(f)), frames)
+
+        def through_decode(f):
+            y = eng._forward(preprocess.rgb565_to_int8_input(f))
+            boxes, conf, _ = head_lib.decode(
+                y, scale=pipe._out_scale, zero_point=pipe._out_zp,
+                cfg=pipe.head_config)
+            return head_lib.clamp_boxes(boxes), conf
+
+        timed("+decode", through_decode, frames)
+        timed("full (+nms)", pipe._detect_from_rgb565, frames)
+    elif cmd == "trace":
+        import jax
+        mode = sys.argv[3] if len(sys.argv) > 3 else "fast"
+        eng = Int8Engine(graph, mode=mode)
+        y = eng(x)
+        np.asarray(y[0, 0, 0, 0])
+        with profiler.trace(f"/tmp/trace_{mode}"):
+            for _ in range(3):
+                y = eng(x)
+            np.asarray(y[0, 0, 0, 0])
+        print(f"trace written to /tmp/trace_{mode}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,760 @@
+"""Arena-fused Pallas stages: the int8 net over a static VMEM activation arena.
+
+Third-generation Pallas lowering (after the per-op kernels and the value-env
+fused stages).  Round-1 measurements showed the fused value-env stages lose
+to stock XLA because every windowed op stages its int8 input into an int32
+scratch ref (Mosaic only supports offset/strided reads on REFS, not on
+loaded values) — a whole-tensor copy + widen per op.
+
+This lowering instead gives every intermediate tensor a *static VMEM ref*
+("alloc") for the whole stage — the direct TPU analogue of the reference's
+statically planned activation arena (``network.c:2944-3100``,
+``network_configure_activations``) — and:
+
+  * producers write their requantized output strips straight into the
+    (pre-padded) interior of each consumer's alloc — no PAD ops, no staging
+    copies, no whole-tensor int8<->int32 round trips;
+  * windowed/strided ops (depthwise conv, stem conv, maxpool) read their
+    taps directly from the padded refs (any offset / stride is legal on
+    refs);
+  * pad borders are constant across batch tiles, so they are filled once at
+    grid step 0 and persist in scratch across the grid;
+  * CONCATENATION dissolves: single-consumer in-stage concat inputs alias
+    channel ranges of the concat output's allocs, so their producers write
+    in place;
+  * 1x1 convs read one contiguous int8 value and hit the MXU via
+    ``dot_general`` with ``preferred_element_type=int32``.
+
+Both requant semantics are supported (fast float32 / exact gemmlowp) with
+the same RequantSpec / LeakySpec math as the other Pallas paths, so the
+arena modes are bit-identical to "fast" / "exact" respectively.
+
+Layout: ``[C, W, H, N]`` like the other Pallas paths (H in sublanes, batch
+in lanes); the grid tiles the batch at NT=128 frames per step.
+
+Reference roles replaced: the binary kernel library's graph walk
+(``ai_platform_network_process``, ``layers_conv2d.h:192``,
+``layers_pool.h:374``) plus the static memory plan.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from yoloface_tpu.core.fixedpoint import (multiply_by_quantized_multiplier,
+                                          quantize_multiplier)
+from yoloface_tpu.graph.ir import GraphDef
+from yoloface_tpu.kernels.pallas_int8 import _interpret_mode
+from yoloface_tpu.ops.int8_ref import _same_pad_amounts
+
+NT = 128
+# per-stage VMEM budget for the activation arena (bytes, sublane-padded
+# estimate); ARENA_BUDGET=999999999 -> whole net in one kernel
+ARENA_BUDGET = int(os.environ.get("YOLOFACE_TPU_ARENA_BUDGET",
+                                  24 * 1024 * 1024))
+# live int32 accumulator bytes per requant strip (env-tunable for perf
+# experiments; the exact path multiplies the per-element estimate by its
+# SRDHM temporary expansion)
+_STRIP_TARGET = int(os.environ.get("YOLOFACE_TPU_STRIP_TARGET", 4 << 20))
+
+Pads = Tuple[Tuple[int, int], Tuple[int, int]]
+NOPAD: Pads = ((0, 0), (0, 0))
+
+
+def _sublane_pad(h: int, itemsize: int) -> int:
+    q = 32 // itemsize          # int8 tile (32,128); int32 tile (8,128)
+    return -(-h // q) * q
+
+
+class Alloc:
+    """One VMEM scratch buffer: interior [c, w, h] + pad borders.
+
+    dtype is int8 unless a consumer reads the tensor with stride > 1:
+    Mosaic only implements strided loads for 32-bit data, so those allocs
+    are int32 (producers store their int32 result directly — no widening
+    on the consumer side either).
+    """
+
+    def __init__(self, aid: int, c: int, w: int, h: int, pads: Pads,
+                 fill: int, dtype=jnp.int8):
+        self.id = aid
+        self.c, self.w, self.h = c, w, h
+        self.pads = pads
+        self.fill = fill
+        self.dtype = dtype
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        (pw0, pw1), (ph0, ph1) = self.pads
+        return (self.c, self.w + pw0 + pw1, self.h + ph0 + ph1)
+
+    @property
+    def est_bytes(self) -> int:
+        c, w, hp = self.shape
+        isz = np.dtype(self.dtype).itemsize
+        return c * w * _sublane_pad(hp, isz) * NT * isz
+
+
+class View:
+    """A tensor's placement inside an alloc (channel offset for concat)."""
+
+    def __init__(self, alloc: Alloc, c0: int = 0):
+        self.alloc = alloc
+        self.c0 = c0
+
+
+class _Ctx:
+    """In-kernel context: resolves tensor reads/writes against the arena."""
+
+    def __init__(self, views, in_refs, out_refs, refs, shapes):
+        self.views: Dict[int, List[View]] = views
+        self.in_refs = in_refs
+        self.out_refs = out_refs
+        self.refs = refs
+        self.shapes = shapes            # tensor -> (c, w, h)
+
+    def read_base(self, t: int, pads: Pads = NOPAD, fill: int = 0):
+        """(ref, c0, w0, h0): base of the *pads-padded* tensor t."""
+        for v in self.views.get(t, []):
+            a = v.alloc
+            if pads == NOPAD or (a.pads == pads and a.fill == fill):
+                (pw0, _), (ph0, _) = a.pads
+                (rw0, _), (rh0, _) = pads
+                return self.refs[a.id], v.c0, pw0 - rw0, ph0 - rh0
+        if pads == NOPAD and t in self.in_refs:
+            return self.in_refs[t], 0, 0, 0
+        raise KeyError(f"no view of tensor {t} with pads {pads}")
+
+    def write(self, t: int, w0: int, w1: int, val):
+        """Store an output strip [c, w1-w0, h, NT] into every view (+ the
+        stage output ref when t crosses the stage boundary).  ``val`` may
+        be int8 or in-range int32; each view stores its own dtype."""
+        c, _, h = self.shapes[t]
+        for v in self.views.get(t, []):
+            a = v.alloc
+            (pw0, _), (ph0, _) = a.pads
+            self.refs[a.id][v.c0:v.c0 + c, pw0 + w0:pw0 + w1,
+                            ph0:ph0 + h, :] = val.astype(a.dtype)
+        if t in self.out_refs:
+            self.out_refs[t][:, w0:w1, :, :] = val.astype(jnp.int8)
+
+
+class ArenaOp:
+    """One lowered op: numpy operands + in-kernel emit fn + input needs."""
+
+    def __init__(self, out_idx: int,
+                 in_reqs: List[Tuple[int, Pads, int, bool]],
+                 operands: List, emit: Callable):
+        self.out_idx = out_idx
+        self.in_reqs = in_reqs          # (tensor, pads, fill, strided)
+        self.in_idxs = [r[0] for r in in_reqs]
+        self.operands = operands
+        self.emit = emit
+
+
+def _strips(wo: int, co: int, h: int, exact: bool) -> List[Tuple[int, int]]:
+    """Output W-strip ranges bounding the live int32 accumulator."""
+    per_w = co * h * NT * 4 * (6 if exact else 2)
+    strip = max(1, min(wo, _STRIP_TARGET // max(per_w, 1)))
+    return [(w0, min(w0 + strip, wo)) for w0 in range(0, wo, strip)]
+
+
+# --------------------------------------------------------------------------
+# lowering: graph ops -> ArenaOps
+# --------------------------------------------------------------------------
+def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
+    """(real input tensor, pads, fill) for a conv/pool input, absorbing an
+    upstream PAD op (darknet top-left pad) when the op consumes one."""
+    t = graph.tensor
+    x_idx = op.inputs[0]
+    producer = next((p for p in graph.ops
+                     if p.outputs and p.outputs[0] == x_idx
+                     and p.opname == "PAD"), None)
+    if producer is not None:
+        p = t(producer.inputs[1]).data.astype(int)
+        pads = ((int(p[2][0]), int(p[2][1])), (int(p[1][0]), int(p[1][1])))
+        zp = t(producer.outputs[0]).qparams.zero_point
+        return producer.inputs[0], pads, zp
+    if op.attrs.get("padding") == "SAME":
+        k_h = op.attrs.get("filter_h")
+        k_w = op.attrs.get("filter_w")
+        if k_h is None:                 # conv: kernel dims from weights
+            wd = t(op.inputs[1]).data
+            k_h, k_w = wd.shape[1], wd.shape[2]
+        in_h, in_w = t(x_idx).shape[1], t(x_idx).shape[2]
+        pads = (_same_pad_amounts(in_w, op.attrs["stride_w"], k_w),
+                _same_pad_amounts(in_h, op.attrs["stride_h"], k_h))
+        if pads != NOPAD:
+            fill = (-128 if op.opname == "MAX_POOL_2D"
+                    else t(x_idx).qparams.zero_point)
+            return x_idx, pads, fill
+    return x_idx, NOPAD, 0
+
+
+def lower_arena_ops(graph: GraphDef, exact: bool):
+    """Returns (arena_ops, concat_alias) after absorbing LEAKY + PAD."""
+    from yoloface_tpu.runtime.pallas_plan import _leaky_spec, _requant_spec
+    from yoloface_tpu.runtime.engine import _check_no_dilation
+    from collections import Counter
+
+    t = graph.tensor
+    uses = Counter()
+    for op in graph.ops:
+        for i in op.inputs:
+            if i >= 0:
+                uses[i] += 1
+    for i in graph.outputs:
+        uses[i] += 1
+
+    ops_by_out = {op.outputs[0]: op for op in graph.ops}
+    fused_leaky, absorbed = {}, set()
+    for op in graph.ops:
+        if op.opname == "LEAKY_RELU":
+            src = ops_by_out.get(op.inputs[0])
+            if (src is not None
+                    and src.opname in ("CONV_2D", "DEPTHWISE_CONV_2D")
+                    and uses[op.inputs[0]] == 1):
+                fused_leaky[src.index] = op
+                absorbed.add(op.index)
+        elif op.opname == "PAD":
+            absorbed.add(op.index)      # consumers absorb via _input_req
+
+    # concat input -> (concat output, channel offset) for single-consumer
+    # inputs produced by an op (aliasing resolved per stage)
+    concat_alias: Dict[int, Tuple[int, int]] = {}
+    for op in graph.ops:
+        if op.opname != "CONCATENATION":
+            continue
+        c0 = 0
+        for i in op.inputs:
+            if uses[i] == 1 and i in ops_by_out:
+                concat_alias[i] = (op.outputs[0], c0)
+            c0 += t(i).shape[3]
+
+    arena_ops: List[ArenaOp] = []
+    for op in graph.ops:
+        if op.index in absorbed:
+            continue
+        name = op.opname
+        out_idx = op.outputs[0]
+        leaky_op = fused_leaky.get(op.index)
+        if leaky_op is not None:
+            out_idx = leaky_op.outputs[0]
+        out_t = t(op.outputs[0])
+        oh, ow = out_t.shape[1], out_t.shape[2]
+
+        if name in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            _check_no_dilation(op)
+            x_raw, w_idx, b_idx = op.inputs
+            x_idx, pads, fill = _input_req(graph, op)
+            w, b = t(w_idx), t(b_idx)
+            in_q, out_q = t(x_raw).qparams, out_t.qparams
+            requant = _requant_spec(in_q.scale, w.qparams.scales,
+                                    out_q.scale, out_q.zero_point, exact)
+            leaky = (None if leaky_op is None
+                     else _leaky_spec(graph, leaky_op, exact))
+            stride = op.attrs["stride_h"]
+            zp_in = in_q.zero_point
+            wd = w.data
+
+            if name == "CONV_2D" and wd.shape[1] == wd.shape[2] == 1:
+                co, ci = wd.shape[0], wd.shape[3]
+                w_io = np.ascontiguousarray(wd.reshape(co, ci).T)
+                bias_eff = (b.data.astype(np.int64)
+                            - zp_in * wd.astype(np.int64).sum((1, 2, 3))
+                            ).astype(np.int32).reshape(co, 1)
+
+                def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, ci=ci,
+                         requant=requant, leaky=leaky, co=co, ow=ow, oh=oh,
+                         exact=exact):
+                    w_v, b_v, p1, p2 = opvals
+                    xr, c0, wb, hb = ctx.read_base(x_idx)
+                    x = xr[c0:c0 + ci, wb:wb + ow, hb:hb + oh, :]
+                    if x.dtype != jnp.int8:   # int32 alloc (strided peer)
+                        x = x.astype(jnp.int8)
+                    acc = lax.dot_general(
+                        w_v, x, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = acc + b_v.reshape(co, 1, 1, 1)
+                    for s0, s1 in _strips(ow, co, oh, exact):
+                        r = requant.apply_in_kernel(acc[:, s0:s1], p1, p2)
+                        if leaky is not None:
+                            r = leaky.apply(r)
+                        ctx.write(out_idx, s0, s1, r)
+
+                arena_ops.append(ArenaOp(
+                    out_idx, [(x_idx, NOPAD, 0, False)],
+                    [w_io, bias_eff, requant.p1, requant.p2], emit))
+
+            elif name == "CONV_2D":
+                co, kh, ci = wd.shape[0], wd.shape[1], wd.shape[3]
+                bias_eff = (b.data.astype(np.int64)
+                            - zp_in * wd.astype(np.int64).sum((1, 2, 3))
+                            ).astype(np.int32).reshape(co, 1)
+                # [K*K, Co, Ci] taps; index k = ww*kh + hh (W-major)
+                taps = np.stack([
+                    np.asarray(wd[:, hh, ww, :], np.int32)
+                    for ww in range(kh) for hh in range(kh)])
+
+                def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
+                         requant=requant, leaky=leaky, co=co, ci=ci, kh=kh,
+                         stride=stride, pads=pads, fill=fill, ow=ow, oh=oh,
+                         exact=exact):
+                    w_v, b_v, p1, p2 = opvals
+                    xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
+                    nt = xr.shape[-1]
+                    for s0, s1 in _strips(ow, co, oh, exact):
+                        acc = (b_v.reshape(co, 1, 1, 1)
+                               + jnp.zeros((co, s1 - s0, oh, nt),
+                                           jnp.int32))
+                        for dy in range(kh):
+                            for dx in range(kh):
+                                ws = wb + s0 * stride + dy
+                                hs = hb + dx
+                                sl = xr[
+                                    c0:c0 + ci,
+                                    ws:ws + (s1 - s0 - 1) * stride + 1:stride,
+                                    hs:hs + (oh - 1) * stride + 1:stride,
+                                    :].astype(jnp.int32)
+                                k = dy * kh + dx
+                                for ci_i in range(ci):
+                                    col = w_v[k:k + 1, :, ci_i:ci_i + 1
+                                              ].reshape(co, 1, 1, 1)
+                                    acc = acc + sl[ci_i:ci_i + 1] * col
+                        r = requant.apply_in_kernel(acc, p1, p2)
+                        if leaky is not None:
+                            r = leaky.apply(r)
+                        ctx.write(out_idx, s0, s1, r)
+
+                arena_ops.append(ArenaOp(
+                    out_idx, [(x_idx, pads, fill, stride > 1)],
+                    [taps, bias_eff, requant.p1, requant.p2], emit))
+
+            else:                       # depthwise 3x3
+                c = wd.shape[3]
+                bias_eff = (b.data.astype(np.int64)
+                            - zp_in * wd.astype(np.int64).sum((0, 1, 2))
+                            ).astype(np.int32).reshape(c, 1)
+                w_taps = np.asarray(
+                    wd[0].transpose(2, 1, 0), np.int32).reshape(c, 9)
+
+                def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
+                         requant=requant, leaky=leaky, c=c, stride=stride,
+                         pads=pads, fill=fill, ow=ow, oh=oh, exact=exact):
+                    w_v, b_v, p1, p2 = opvals
+                    xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
+                    nt = xr.shape[-1]
+                    for s0, s1 in _strips(ow, c, oh, exact):
+                        acc = (b_v.reshape(c, 1, 1, 1)
+                               + jnp.zeros((c, s1 - s0, oh, nt), jnp.int32))
+                        for dy in range(3):
+                            for dx in range(3):
+                                ws = wb + s0 * stride + dy
+                                hs = hb + dx
+                                sl = xr[
+                                    c0:c0 + c,
+                                    ws:ws + (s1 - s0 - 1) * stride + 1:stride,
+                                    hs:hs + (oh - 1) * stride + 1:stride,
+                                    :].astype(jnp.int32)
+                                tap = w_v[:, dy * 3 + dx].reshape(c, 1, 1, 1)
+                                acc = acc + sl * tap
+                        r = requant.apply_in_kernel(acc, p1, p2)
+                        if leaky is not None:
+                            r = leaky.apply(r)
+                        ctx.write(out_idx, s0, s1, r)
+
+                arena_ops.append(ArenaOp(
+                    out_idx, [(x_idx, pads, fill, stride > 1)],
+                    [w_taps, bias_eff, requant.p1, requant.p2], emit))
+
+        elif name == "MAX_POOL_2D":
+            x_idx, pads, fill = _input_req(graph, op)
+            fh, fw = op.attrs["filter_h"], op.attrs["filter_w"]
+            stride = op.attrs["stride_h"]
+            in_h = t(x_idx).shape[1]
+            (_, _), (ph0, ph1) = pads
+            hp = in_h + ph0 + ph1
+
+            def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, fw=fw,
+                     fh=fh, stride=stride, pads=pads, fill=fill,
+                     ow=ow, oh=oh, hp=hp):
+                # separable two-pass max (fw + fh taps instead of fw*fh):
+                # rows-max over W (keeping padded H), staged into an int32
+                # scratch ref so the cols pass can read H-strided slices
+                xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
+                c = ctx.shapes[x_idx][0]
+                nt = xr.shape[-1]
+                rows = jnp.full((c, ow, hp, nt), -128, jnp.int32)
+                for dy in range(fw):
+                    ws = wb + dy
+                    sl = xr[c0:c0 + c,
+                            ws:ws + (ow - 1) * stride + 1:stride,
+                            hb:hb + hp, :].astype(jnp.int32)
+                    rows = jnp.maximum(rows, sl)
+
+                def cols(sref):
+                    sref[:] = rows
+                    acc = jnp.full((c, ow, oh, nt), -128, jnp.int32)
+                    for dx in range(fh):
+                        sl = sref[:, :,
+                                  dx:dx + (oh - 1) * stride + 1:stride, :]
+                        acc = jnp.maximum(acc, sl)
+                    return acc
+
+                out = pl.run_scoped(
+                    cols, pltpu.VMEM((c, ow, hp, nt), jnp.int32))
+                ctx.write(out_idx, 0, ow, out)
+
+            arena_ops.append(ArenaOp(
+                out_idx, [(x_idx, pads, fill, stride > 1)], [], emit))
+
+        elif name == "ADD":
+            a_idx, b_idx = op.inputs
+            q1, q2 = t(a_idx).qparams, t(b_idx).qparams
+            qo = out_t.qparams
+            s1, s2, so = (np.float64(q1.scale), np.float64(q2.scale),
+                          np.float64(qo.scale))
+            spec = {"exact": exact, "zp1": q1.zero_point,
+                    "zp2": q2.zero_point, "zp_out": qo.zero_point}
+            if exact:
+                twice_max = 2.0 * max(s1, s2)
+                spec["left_shift"] = 20
+                spec["qm1"], spec["sh1"] = quantize_multiplier(s1 / twice_max)
+                spec["qm2"], spec["sh2"] = quantize_multiplier(s2 / twice_max)
+                spec["qmo"], spec["sho"] = quantize_multiplier(
+                    twice_max / ((1 << 20) * so))
+            else:
+                spec["s1"] = np.float32(s1 / so)
+                spec["s2"] = np.float32(s2 / so)
+
+            def emit(ctx, opvals, a_idx=a_idx, b_idx=b_idx, out_idx=out_idx,
+                     spec=spec, ow=ow, oh=oh):
+                ar, ca, wa, ha = ctx.read_base(a_idx)
+                br, cb, wb2, hb2 = ctx.read_base(b_idx)
+                c = ctx.shapes[a_idx][0]
+                va = ar[ca:ca + c, wa:wa + ow, ha:ha + oh, :
+                        ].astype(jnp.int32) - spec["zp1"]
+                vb = br[cb:cb + c, wb2:wb2 + ow, hb2:hb2 + oh, :
+                        ].astype(jnp.int32) - spec["zp2"]
+                if spec["exact"]:
+                    va = va << spec["left_shift"]
+                    vb = vb << spec["left_shift"]
+                    sa = multiply_by_quantized_multiplier(
+                        va, jnp.int32(spec["qm1"]), jnp.int32(spec["sh1"]))
+                    sb = multiply_by_quantized_multiplier(
+                        vb, jnp.int32(spec["qm2"]), jnp.int32(spec["sh2"]))
+                    o = multiply_by_quantized_multiplier(
+                        sa + sb, jnp.int32(spec["qmo"]),
+                        jnp.int32(spec["sho"]))
+                else:
+                    o = jnp.round(
+                        va.astype(jnp.float32) * spec["s1"]
+                        + vb.astype(jnp.float32) * spec["s2"]
+                    ).astype(jnp.int32)
+                ctx.write(out_idx, 0, ow,
+                          jnp.clip(o + spec["zp_out"], -128, 127))
+
+            arena_ops.append(ArenaOp(
+                out_idx, [(a_idx, NOPAD, 0, False),
+                          (b_idx, NOPAD, 0, False)], [], emit))
+
+        elif name == "QUANTIZE":
+            (x_idx,) = op.inputs
+            in_q, out_q = t(x_idx).qparams, out_t.qparams
+            ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
+            spec = {"exact": exact, "zp_in": in_q.zero_point,
+                    "zp_out": out_q.zero_point}
+            if exact:
+                spec["qm"], spec["sh"] = quantize_multiplier(ratio)
+            else:
+                spec["scale"] = np.float32(ratio)
+
+            def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, spec=spec,
+                     ow=ow, oh=oh):
+                xr, c0, wb, hb = ctx.read_base(x_idx)
+                c = ctx.shapes[x_idx][0]
+                v = xr[c0:c0 + c, wb:wb + ow, hb:hb + oh, :
+                       ].astype(jnp.int32) - spec["zp_in"]
+                if spec["exact"]:
+                    o = multiply_by_quantized_multiplier(
+                        v, jnp.int32(spec["qm"]), jnp.int32(spec["sh"]))
+                else:
+                    o = jnp.round(v.astype(jnp.float32)
+                                  * spec["scale"]).astype(jnp.int32)
+                ctx.write(out_idx, 0, ow,
+                          jnp.clip(o + spec["zp_out"], -128, 127))
+
+            arena_ops.append(ArenaOp(out_idx, [(x_idx, NOPAD, 0, False)],
+                                     [], emit))
+
+        elif name == "LEAKY_RELU":      # standalone (multi-consumer input)
+            spec = _leaky_spec(graph, op, exact)
+            x_idx = op.inputs[0]
+
+            def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, spec=spec,
+                     ow=ow, oh=oh):
+                xr, c0, wb, hb = ctx.read_base(x_idx)
+                c = ctx.shapes[x_idx][0]
+                v = xr[c0:c0 + c, wb:wb + ow, hb:hb + oh, :]
+                ctx.write(out_idx, 0, ow, spec.apply(v))
+
+            arena_ops.append(ArenaOp(out_idx, [(x_idx, NOPAD, 0, False)],
+                                     [], emit))
+
+        elif name == "CONCATENATION":
+            idxs = list(op.inputs)
+            offs = np.cumsum([0] + [t(i).shape[3] for i in idxs]).tolist()
+
+            def emit(ctx, opvals, idxs=idxs, offs=offs, out_idx=out_idx,
+                     ow=ow, oh=oh, alias=concat_alias):
+                out_views = ctx.views.get(out_idx, [])
+                for i, coff in zip(idxs, offs):
+                    ci = ctx.shapes[i][0]
+                    aliased = (alias.get(i) == (out_idx, coff)
+                               and i in ctx.views and ctx.views[i]
+                               and out_views
+                               and ctx.views[i][0].alloc
+                               is out_views[0].alloc)
+                    if aliased and out_idx not in ctx.out_refs:
+                        continue        # producers already wrote in place
+                    xr, c0, wb, hb = ctx.read_base(i)
+                    val = xr[c0:c0 + ci, wb:wb + ow, hb:hb + oh, :]
+                    if not aliased:
+                        for v in out_views:
+                            a = v.alloc
+                            (pw0, _), (ph0, _) = a.pads
+                            ctx.refs[a.id][
+                                v.c0 + coff:v.c0 + coff + ci,
+                                pw0:pw0 + ow, ph0:ph0 + oh, :
+                            ] = val.astype(a.dtype)
+                    if out_idx in ctx.out_refs:
+                        ctx.out_refs[out_idx][coff:coff + ci, :, :, :] = \
+                            val.astype(jnp.int8)
+
+            arena_ops.append(ArenaOp(
+                out_idx, [(i, NOPAD, 0, False) for i in idxs], [], emit))
+
+        else:
+            raise NotImplementedError(f"arena plan: op {name}")
+
+    return arena_ops, concat_alias
+
+
+# --------------------------------------------------------------------------
+# stage partitioning + pallas_call assembly
+# --------------------------------------------------------------------------
+def _tensor_chw(graph: GraphDef, i: int) -> Tuple[int, int, int]:
+    s = graph.tensor(i).shape
+    return (int(s[3]), int(s[2]), int(s[1]))     # (C, W, H)
+
+
+def build_arena_plan(graph: GraphDef, exact: bool,
+                     budget: Optional[int] = None) -> List[Callable]:
+    if budget is None:
+        budget = ARENA_BUDGET
+    arena_ops, concat_alias = lower_arena_ops(graph, exact)
+    graph_outputs = set(graph.outputs)
+
+    # greedy stage partition on estimated alloc bytes
+    def op_bytes(aop: ArenaOp) -> int:
+        c, w, h = _tensor_chw(graph, aop.out_idx)
+        return Alloc(0, c, w, h, ((1, 1), (1, 1)), 0).est_bytes
+
+    stages: List[List[ArenaOp]] = []
+    cur: List[ArenaOp] = []
+    cur_bytes = 0
+    for aop in arena_ops:
+        b = op_bytes(aop)
+        if cur and cur_bytes + b > budget:
+            stages.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(aop)
+        cur_bytes += b
+    if cur:
+        stages.append(cur)
+
+    plan: List[Callable] = []
+    for si, stage in enumerate(stages):
+        plan.append(_build_stage(graph, stages, si, concat_alias,
+                                 graph_outputs))
+    return plan
+
+
+def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs):
+    stage = stages[si]
+    internal = {aop.out_idx for aop in stage}
+    ext_inputs: List[int] = []
+    for aop in stage:
+        for i in aop.in_idxs:
+            if i not in internal and i not in ext_inputs:
+                ext_inputs.append(i)
+    later_needs = set(graph_outputs)
+    for sj in range(si + 1, len(stages)):
+        for aop in stages[sj]:
+            later_needs.update(aop.in_idxs)
+    outputs = [aop.out_idx for aop in stage if aop.out_idx in later_needs]
+
+    # ------------------------------------------------------ arena planning
+    allocs: List[Alloc] = []
+    views: Dict[int, List[View]] = {}
+
+    def new_alloc(tensor: int, pads: Pads, fill: int,
+                  strided: bool = False) -> Alloc:
+        c, w, h = _tensor_chw(graph, tensor)
+        # strided consumers need 32-bit loads (Mosaic limitation)
+        a = Alloc(len(allocs), c, w, h, pads, fill,
+                  jnp.int32 if strided else jnp.int8)
+        allocs.append(a)
+        return a
+
+    # (pads, fill) -> strided? views needed by in-stage consumers
+    stage_reqs: Dict[int, Dict[Tuple[Pads, int], bool]] = {}
+    unpadded_read: Dict[int, bool] = {}
+    for aop in stage:
+        for tensor, pads, fill, strided in aop.in_reqs:
+            if pads == NOPAD and not strided:
+                unpadded_read[tensor] = True
+            else:
+                r = stage_reqs.setdefault(tensor, {})
+                r[(pads, fill)] = r.get((pads, fill), False) or strided
+
+    # aliased concat inputs: resolve views from the concat output later.
+    # Aliasing needs the concat output to own at least one alloc, i.e. an
+    # in-stage reader; otherwise inputs plan normally and the concat copies.
+    def is_aliased(tensor: int) -> bool:
+        if tensor not in concat_alias or tensor not in internal:
+            return False
+        cout, _ = concat_alias[tensor]
+        return (cout in internal
+                and (unpadded_read.get(cout) or cout in stage_reqs))
+
+    for tensor in list(internal) + ext_inputs:
+        if is_aliased(tensor):
+            continue
+        vlist = views.setdefault(tensor, [])
+        for (pads, fill), strided in stage_reqs.get(tensor, {}).items():
+            vlist.append(View(new_alloc(tensor, pads, fill, strided)))
+        # internally-produced tensors read without pads need SOME alloc
+        # (padded interiors serve unpadded reads; ext inputs read in_refs)
+        if (tensor in internal and unpadded_read.get(tensor)
+                and not vlist):
+            vlist.append(View(new_alloc(tensor, NOPAD, 0)))
+
+    # concat input views = channel ranges of the concat output's views
+    for tensor, (cout, c0) in concat_alias.items():
+        if is_aliased(tensor):
+            views[tensor] = [View(v.alloc, v.c0 + c0)
+                             for v in views.get(cout, [])]
+
+    # ext inputs with padded views need an in-kernel staging copy
+    staging = [tr for tr in ext_inputs if views.get(tr)]
+
+    operand_arrays: List[np.ndarray] = []
+    operand_slices: List[Tuple[int, int]] = []
+    for aop in stage:
+        start = len(operand_arrays)
+        operand_arrays.extend(aop.operands)
+        operand_slices.append((start, len(operand_arrays)))
+
+    shapes = {i: _tensor_chw(graph, i)
+              for i in list(internal) + ext_inputs}
+
+    n_in, n_op, n_out = len(ext_inputs), len(operand_arrays), len(outputs)
+
+    def kernel(*refs):
+        in_refs = dict(zip(ext_inputs, refs[:n_in]))
+        op_refs = refs[n_in:n_in + n_op]
+        out_refs = dict(zip(outputs,
+                            refs[n_in + n_op:n_in + n_op + n_out]))
+        arefs = {a.id: r for a, r in
+                 zip(allocs, refs[n_in + n_op + n_out:])}
+        ctx = _Ctx(views, in_refs, out_refs, arefs, shapes)
+
+        # fill constant pad borders once; they persist across grid steps
+        @pl.when(pl.program_id(0) == 0)
+        def _fill():
+            for a in allocs:
+                if a.pads == NOPAD:
+                    continue
+                (pw0, pw1), (ph0, ph1) = a.pads
+                r = arefs[a.id]
+                cS, wS, hS = a.shape
+                nt = r.shape[-1]
+                f, dt = a.fill, a.dtype
+                if pw0:
+                    r[:, :pw0, :, :] = jnp.full((cS, pw0, hS, nt), f, dt)
+                if pw1:
+                    r[:, wS - pw1:, :, :] = jnp.full((cS, pw1, hS, nt),
+                                                     f, dt)
+                if ph0:
+                    r[:, :, :ph0, :] = jnp.full((cS, wS, ph0, nt), f, dt)
+                if ph1:
+                    r[:, :, hS - ph1:, :] = jnp.full((cS, wS, ph1, nt),
+                                                     f, dt)
+
+        # stage ext inputs into their padded views
+        for tensor in staging:
+            c, w, h = shapes[tensor]
+            val = in_refs[tensor][:]
+            for v in views[tensor]:
+                a = v.alloc
+                (pw0, _), (ph0, _) = a.pads
+                arefs[a.id][v.c0:v.c0 + c, pw0:pw0 + w,
+                            ph0:ph0 + h, :] = val.astype(a.dtype)
+
+        opvals = [r[:] for r in op_refs]
+        for aop, (a, b) in zip(stage, operand_slices):
+            aop.emit(ctx, opvals[a:b])
+
+    def run(env_outer):
+        xs = [env_outer[i] for i in ext_inputs]
+        n = xs[0].shape[-1]
+        nt = NT if n % NT == 0 else n
+        in_specs = [
+            pl.BlockSpec(tuple(x.shape[:3]) + (nt,),
+                         (lambda i: (0, 0, 0, i)),
+                         memory_space=pltpu.VMEM) for x in xs]
+        op_specs = [
+            pl.BlockSpec(a.shape,
+                         (lambda i, nd=len(a.shape):
+                          tuple(0 for _ in range(nd))),
+                         memory_space=pltpu.VMEM)
+            for a in operand_arrays]
+        out_specs = tuple(
+            pl.BlockSpec(shapes[o] + (nt,), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+            for o in outputs)
+        out_shape = tuple(
+            jax.ShapeDtypeStruct(shapes[o] + (n,), jnp.int8)
+            for o in outputs)
+        scratch = [pltpu.VMEM(a.shape + (nt,), a.dtype) for a in allocs]
+        res = pl.pallas_call(
+            kernel,
+            grid=(n // nt,),
+            in_specs=in_specs + op_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interpret_mode(),
+        )(*xs, *[jnp.asarray(a) for a in operand_arrays])
+        if not isinstance(res, (tuple, list)):
+            res = (res,)
+        return dict(zip(outputs, res))
+
+    def fn(env, run=run, outputs=outputs):
+        env.update(run(env))
+        return env[outputs[-1]]
+
+    fn.out_idx = outputs[-1]                     # type: ignore
+    fn.stage_outputs = outputs                   # type: ignore
+    return fn

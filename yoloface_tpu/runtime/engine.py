@@ -65,7 +65,8 @@ class Int8Engine:
         fastest serving path (see CLAUDE.md perf notes).
         """
         if mode not in ("exact", "fast", "pallas", "pallas_exact",
-                        "pallas_fused", "pallas_fused_exact"):
+                        "pallas_fused", "pallas_fused_exact",
+                        "pallas_arena", "pallas_arena_exact"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.mode = mode
         self.graph = graph
@@ -84,7 +85,10 @@ class Int8Engine:
                 f"{in_t.qparams}. For float graphs use the FP32 model path "
                 f"(yoloface_tpu.models).")
         self.input_shape = tuple(in_t.shape[1:])  # without batch
-        if mode.startswith("pallas_fused"):
+        if mode.startswith("pallas_arena"):
+            from yoloface_tpu.kernels.pallas_arena import build_arena_plan
+            self._plan = build_arena_plan(graph, exact=mode.endswith("exact"))
+        elif mode.startswith("pallas_fused"):
             from yoloface_tpu.kernels.pallas_fused import build_fused_plan
             self._plan = build_fused_plan(graph, exact=mode.endswith("exact"))
         elif mode.startswith("pallas"):

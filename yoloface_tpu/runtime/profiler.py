@@ -69,18 +69,23 @@ def profile_engine(engine, x, iters: int = 5,
     op_by_out = {}
     for op in engine.graph.ops:
         op_by_out[op.outputs[0]] = op
+    def sync(out):
+        # force completion through a SCALAR fetch: device_get of a full
+        # activation would crawl over the ~60 MB/s tunnel and the tunnel's
+        # block_until_ready can return before remote execution finishes
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
     rows = []
     for fn in engine._plan:
         jfn = jax.jit(fn)
-        jfn(env)
-        # force completion through a tiny fetch (tunnel-safe sync)
-        np.asarray(jax.device_get(jfn(env)))[..., :1]
+        sync(jfn(env))
         for _ in range(warmup):
             jfn(env)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = jfn(env)
-        _ = np.asarray(jax.device_get(out)).ravel()[:1]
+        sync(out)
         dt = (time.perf_counter() - t0) / iters
         op = op_by_out.get(fn.out_idx)
         name = op.opname if op is not None else "?"
