@@ -88,6 +88,15 @@ def conv1x1_probe():
             acc = acc + xr[ci:ci + 1].astype(jnp.int32) * col
         finish(o, xr, acc)
 
+    def k_dot4d_bf16(xr, wr, o):
+        # int8 ranges are exact in bf16 and partial sums < 2**24 are exact
+        # in the MXU's f32 accumulation -> bit-identical int32 accumulators
+        acc = lax.dot_general(wr[:].T.astype(jnp.bfloat16),
+                              xr[:].astype(jnp.bfloat16),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        finish(o, xr, acc.astype(jnp.int32))
+
     gmac = CI * CO * S * S * batch / 1e9
 
     def run(name, call):
@@ -116,9 +125,145 @@ def conv1x1_probe():
     run("FMA loop", pcall(k_fma))
 
 
+def whcn_probe():
+    """Probe the [W, H, C, N] layout (C in sublanes, N in lanes):
+      * batched dot_general [W,H,Co,Ci] x [W,H,Ci,N] — does Mosaic emit
+        MXU matmuls per (w,h)?
+      * dw taps via plain-dim offset slices + sublane-varying weights;
+      * plain-dim stride-2 loads from an int8 ref.
+    Usage: python tools/microbench.py whcn [batch] [Ci] [Co] [S]
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    argv = sys.argv[2:]
+    batch = int(argv[0]) if len(argv) > 0 else 32768
+    CI = int(argv[1]) if len(argv) > 1 else 36
+    CO = int(argv[2]) if len(argv) > 2 else 24
+    S = int(argv[3]) if len(argv) > 3 else 14
+    NT = 128
+    REPS = 20
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-128, 128, (S, S, CI, batch)), jnp.int8)
+    w = jnp.asarray(rng.integers(-64, 64, (CO, CI)), jnp.int8)
+    dwt = jnp.asarray(rng.integers(-128, 128, (CI, 9)), jnp.int32)
+
+    def pcall(kern, extra):
+        def call(y):
+            return pl.pallas_call(
+                kern,
+                grid=(batch // NT,),
+                in_specs=[pl.BlockSpec((S, S, CI, NT),
+                                       lambda i: (0, 0, 0, i),
+                                       memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec(tuple(a.shape),
+                                lambda i, nd=a.ndim: (0,) * nd,
+                                memory_space=pltpu.VMEM) for a in extra],
+                out_specs=pl.BlockSpec((S, S, CI, NT),
+                                       lambda i: (0, 0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((S, S, CI, batch), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(y, *extra)
+        return call
+
+    def run(name, call, gmac):
+        try:
+            def chain(v):
+                for _ in range(REPS):
+                    v = call(v)
+                return v
+            f = jax.jit(chain)
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            t0 = time.perf_counter()
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            ms = (time.perf_counter() - t0) / REPS * 1e3
+            print(f"{name:>26s}: {ms:7.3f} ms/op"
+                  + (f" ({gmac / ms:6.1f} GMAC/ms)" if gmac else ""),
+                  flush=True)
+        except Exception as e:
+            print(f"{name:>26s}: FAILED {str(e).splitlines()[0][:110]}",
+                  flush=True)
+
+    mm_gmac = CI * CO * S * S * batch / 1e9
+    dw_gmac = CI * (S - 2) * (S - 2) * batch * 9 / 1e9
+
+    def finish(o, xr, acc, co, s0=0):
+        r = jnp.clip(acc.astype(jnp.int32) >> 7, -128, 127).astype(jnp.int8)
+        so = r.shape[0]
+        o[s0:s0 + so, s0:s0 + so, :co, :] = r
+        if co < CI:
+            o[:, :, co:, :] = xr[:, :, co:, :]
+        if s0:
+            o[:s0, :, :co, :] = xr[:s0, :, :co, :]
+            o[s0 + so:, :, :co, :] = xr[s0 + so:, :, :co, :]
+            o[:, :s0, :co, :] = xr[:, :s0, :co, :]
+            o[:, s0 + so:, :co, :] = xr[:, s0 + so:, :co, :]
+
+    def k_loop_dot(xr, wr, o, dt=jnp.int8, acc_t=jnp.int32):
+        wv = wr[:].astype(dt)
+        rows = []
+        for i in range(S):
+            cols = []
+            for j in range(S):
+                cols.append(lax.dot_general(
+                    wv, xr[i, j].astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_t))
+            rows.append(jnp.stack(cols, 0))
+        finish(o, xr, jnp.stack(rows, 0), CO)
+
+    def k_loop_dot_bf16(xr, wr, o):
+        k_loop_dot(xr, wr, o, dt=jnp.bfloat16, acc_t=jnp.float32)
+
+    def k_batched_dot_bf16(xr, wr, o):
+        wb = jnp.broadcast_to(wr[:].astype(jnp.bfloat16).reshape(
+            1, 1, CO, CI), (S, S, CO, CI))
+        acc = lax.dot_general(
+            wb, xr[:].astype(jnp.bfloat16),
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+        finish(o, xr, acc, CO)
+
+    def k_dw(xr, wr, o):
+        so = S - 2
+        acc = jnp.zeros((so, so, CI, NT), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                sl = xr[dy:dy + so, dx:dx + so, :, :].astype(jnp.int32)
+                acc = acc + sl * wr[:, dy * 3 + dx].reshape(1, 1, CI, 1)
+        finish(o, xr, acc, CI, s0=1)
+
+    def k_dw_s2(xr, wr, o):
+        so = (S - 2) // 2
+        acc = jnp.zeros((so, so, CI, NT), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                sl = xr[dy:dy + 2 * so - 1:2, dx:dx + 2 * so - 1:2,
+                        :, :].astype(jnp.int32)
+                acc = acc + sl * wr[:, dy * 3 + dx].reshape(1, 1, CI, 1)
+        finish(o, xr, acc, CI, s0=1)
+
+    print(f"whcn probe Ci={CI} Co={CO} S={S} batch={batch}", flush=True)
+    run("loop-of-2D dots i8", pcall(k_loop_dot, (w,)), mm_gmac)
+    run("loop-of-2D dots bf16", pcall(k_loop_dot_bf16, (w,)), mm_gmac)
+    run("batched dot bf16", pcall(k_batched_dot_bf16, (w,)), mm_gmac)
+    run("dw taps plain offs", pcall(k_dw, (dwt,)), dw_gmac)
+    run("dw taps plain stride2 i8", pcall(k_dw_s2, (dwt,)),
+        dw_gmac / 4)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "conv1x1":
         conv1x1_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "whcn":
+        whcn_probe()
         return
     import jax
     import jax.numpy as jnp
