@@ -84,6 +84,65 @@ def test_mosaic_geometry():
     assert np.all((merged[:, 1] > 0) & (merged[:, 1] < 1))
 
 
+def test_random_rotate_labels():
+    """Label transform properties (yolov3_train_tf.py:521-547): the center
+    follows the image rotation exactly; w/h stay untouched; a centered box
+    is a fixed point; surviving labels stay normalized."""
+    from yoloface_tpu.train.yolov3 import random_rotate
+    import cv2
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (100, 100, 3)).astype(np.uint8)
+    labels = np.array([[0.0, 0.5, 0.5, 0.2, 0.3],     # centered: fixed pt
+                       [1.0, 0.8, 0.3, 0.1, 0.1]])
+    out, lab = random_rotate(img, labels.copy(), rng)
+    assert out.shape == img.shape
+    assert len(lab) >= 1
+    np.testing.assert_allclose(lab[0, 1:3], [0.5, 0.5], atol=1e-5)
+    np.testing.assert_array_equal(lab[:, 3:], labels[:len(lab), 3:])
+    assert np.all((lab[:, 1:3] > 0) & (lab[:, 1:3] < 1))
+    # hand-computed case: rotation by exactly +90 deg via the same affine
+    M = cv2.getRotationMatrix2D((50, 50), 90, 1.0)
+    c = cv2.transform(np.array([[[80.0, 30.0]]], np.float32), M)[0, 0]
+    # (80,30) about (50,50) by +90 (cv2 y-down -> clockwise): (30, 20)
+    np.testing.assert_allclose(c, [30.0, 20.0], atol=1e-4)
+
+
+def test_random_crop_labels():
+    """Crop transform (yolov3_train_tf.py:549-575): surviving boxes keep
+    their absolute pixel geometry (IoU 1.0 against the hand-transformed
+    box); out-of-crop centers are dropped; outputs stay normalized."""
+    from yoloface_tpu.train.yolov3 import random_crop
+
+    class FixedRng:
+        def uniform(self, lo, hi):
+            return 0.5                      # crop fraction 0.5
+
+        def integers(self, lo, hi):
+            return 25                       # x1 = y1 = 25
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    labels = np.array([[0.0, 0.5, 0.5, 0.2, 0.2],    # inside the crop
+                       [1.0, 0.05, 0.05, 0.1, 0.1]])  # outside -> dropped
+    out, lab = random_crop(img, labels.copy(), FixedRng())
+    assert out.shape == (50, 50, 3)
+    assert len(lab) == 1
+    # center (50,50)px -> (25,25) in crop -> 0.5 norm; w 20px -> 0.4
+    np.testing.assert_allclose(lab[0], [0.0, 0.5, 0.5, 0.4, 0.4],
+                               atol=1e-9)
+
+
+def test_augments_wired_into_trainer():
+    from yoloface_tpu.train.yolov3 import YoloV3Trainer
+    cfg = YoloV3Config(img_size=96, multiscale=False, mosaic=False,
+                       rotate=True, crop=True, rotate_prob=1.0,
+                       crop_prob=1.0, batch_size=2, epochs=1)
+    tr = YoloV3Trainer(cfg, "/root/reference/yoloface/small_dataset",
+                       seed=0)
+    imgs, tgts = tr._make_batch(96, 2)
+    assert imgs.shape == (2, 96, 96, 3)
+    assert np.isfinite(imgs).all() and np.isfinite(tgts).all()
+
+
 def test_multiscale_sampling():
     cfg = YoloV3Config()
     rng = np.random.default_rng(0)

@@ -258,12 +258,163 @@ def whcn_probe():
         dw_gmac / 4)
 
 
+def inkernel_probe():
+    """Pure in-VMEM compute throughput: repeat the op R times INSIDE one
+    kernel (weights perturbed per rep to defeat CSE), so HBM block traffic
+    amortizes away.  Usage: python tools/microbench.py inkernel [batch]
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+    NT = 128
+    R = 16
+    rng = np.random.default_rng(0)
+
+    def timed(name, call, x, gmac_total):
+        try:
+            f = jax.jit(call)
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            t0 = time.perf_counter()
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            ms = (time.perf_counter() - t0) * 1e3
+            print(f"{name:>34s}: {ms / R:7.3f} ms/op "
+                  f"({gmac_total / ms:6.1f} GMAC/ms)", flush=True)
+        except Exception as e:
+            print(f"{name:>34s}: FAILED {str(e).splitlines()[0][:100]}",
+                  flush=True)
+
+    def pc(kern, x, w):
+        return pl.pallas_call(
+            kern,
+            grid=(batch // NT,),
+            in_specs=[
+                pl.BlockSpec(tuple(x.shape[:-1]) + (NT,),
+                             lambda i, nd=x.ndim: (0,) * (nd - 1) + (i,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(w.shape),
+                             lambda i, nd=w.ndim: (0,) * nd,
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(tuple(x.shape[:-1]) + (NT,),
+                                   lambda i, nd=x.ndim:
+                                   (0,) * (nd - 1) + (i,),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(x, w)
+
+    # ---- 1x1 conv, CWHN [Ci,S,S,N], contract plain dim ----
+    for CI, CO, S in [(36, 36, 14), (40, 40, 7)]:
+        x = jnp.asarray(rng.integers(-128, 128, (CI, S, S, batch)),
+                        jnp.int8)
+        w = jnp.asarray(rng.integers(-64, 64, (CI, CO)), jnp.int8)
+        g = CI * CO * S * S * batch * R / 1e9
+
+        def k_i8(xr, wr, o, CI=CI, CO=CO):
+            acc = 0
+            xv = xr[:]
+            for r in range(R):
+                acc += lax.dot_general(wr[:] + r, xv,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+            o[:] = acc
+
+        def k_bf(xr, wr, o, CI=CI, CO=CO):
+            acc = 0.0
+            xv = xr[:].astype(jnp.bfloat16)
+            for r in range(R):
+                acc += lax.dot_general(
+                    (wr[:] + r).astype(jnp.bfloat16), xv,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            o[:] = acc.astype(jnp.int32)
+
+        timed(f"cwhn 1x1 i8 dot {CI}x{CO}@{S}", lambda v: pc(k_i8, v, w),
+              x, g)
+        timed(f"cwhn 1x1 bf16 dot {CI}x{CO}@{S}", lambda v: pc(k_bf, v, w),
+              x, g)
+
+    # ---- 1x1 conv, WHCN [S,S,Ci,N], 2D dots per (w,h) ----
+    for CI, CO, S in [(36, 36, 14), (40, 40, 7)]:
+        x = jnp.asarray(rng.integers(-128, 128, (S, S, CI, batch)),
+                        jnp.int8)
+        w = jnp.asarray(rng.integers(-64, 64, (CO, CI)), jnp.int8)
+        g = CI * CO * S * S * batch * R / 1e9
+
+        def k2d(xr, wr, o, S=S, dt=jnp.int8, at=jnp.int32):
+            accs = []
+            for i in range(S):
+                cols = []
+                for j in range(S):
+                    xv = xr[i, j].astype(dt)
+                    a = 0
+                    for r in range(R):
+                        a += lax.dot_general(
+                            (wr[:] + r).astype(dt), xv,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=at)
+                    cols.append(a.astype(jnp.int32))
+                accs.append(jnp.stack(cols, 0))
+            o[:] = jnp.stack(accs, 0)
+
+        def k2d_bf(xr, wr, o, S=S):
+            k2d(xr, wr, o, S=S, dt=jnp.bfloat16, at=jnp.float32)
+
+        timed(f"whcn 1x1 i8 2Ddots {CI}x{CO}@{S}",
+              lambda v: pc(k2d, v, w), x, g)
+        timed(f"whcn 1x1 bf16 2Ddots {CI}x{CO}@{S}",
+              lambda v: pc(k2d_bf, v, w), x, g)
+
+    # ---- dw taps CWHN (current arena emission) ----
+    C, S = 8, 28
+    x = jnp.asarray(rng.integers(-128, 128, (C, S + 2, S + 2, batch)),
+                    jnp.int8)
+    w = jnp.asarray(rng.integers(-128, 128, (C, 9)), jnp.int32)
+    g = C * S * S * batch * 9 * R / 1e9
+
+    def kdw(xr, wr, o):
+        acc = jnp.zeros((C, S, S, NT), jnp.int32)
+        for r in range(R):
+            for dy in range(3):
+                for dx in range(3):
+                    sl = xr[:, dy:dy + S, dx:dx + S, :].astype(jnp.int32)
+                    acc = acc + sl * (wr[:, dy * 3 + dx] + r).reshape(
+                        C, 1, 1, 1)
+        o[:, :S, :S, :] = acc
+        o[:, S:, :, :] = jnp.zeros((C, 2, S + 2, NT), jnp.int32)
+        o[:, :S, S:, :] = jnp.zeros((C, S, 2, NT), jnp.int32)
+
+    timed(f"cwhn dw taps C={C}@{S}", lambda v: pc(kdw, v, w), x, g)
+
+    # ---- requant chain cost (fast f32 path) over a [C,S,S,N] i32 acc ----
+    def kreq(xr, wr, o):
+        acc = xr[:].astype(jnp.int32) * 1000
+        out = jnp.zeros((C, S + 2, S + 2, NT), jnp.int32)
+        for r in range(R):
+            v = jnp.round(acc.astype(jnp.float32) * (1e-4 * (r + 1)))
+            v = jnp.clip(v + 3.0, -128, 127)
+            out = out + v.astype(jnp.int32)
+        o[:] = out
+
+    timed(f"cwhn fastrequant C={C}@{S}", lambda v: pc(kreq, v, w), x,
+          C * (S + 2) * (S + 2) * batch * R / 1e9)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "conv1x1":
         conv1x1_probe()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "whcn":
         whcn_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "inkernel":
+        inkernel_probe()
         return
     import jax
     import jax.numpy as jnp

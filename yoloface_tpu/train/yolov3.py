@@ -49,6 +49,10 @@ class YoloV3Config:
     multiscale_min: int = 320
     multiscale_max: int = 608
     mosaic: bool = True
+    rotate: bool = True      # random_rotate aug (yolov3_train_tf.py:521)
+    crop: bool = True        # random_crop aug (yolov3_train_tf.py:549)
+    rotate_prob: float = 0.5
+    crop_prob: float = 0.5
     stride: int = 8
     # optax schedules advance per optimizer update; warmup/decay horizons in
     # make_v3_train_step are epochs * steps_per_epoch steps (keep in sync
@@ -175,6 +179,54 @@ def mosaic_augmentation(images, labels_list, img_size: int,
     return mosaic, labels_out
 
 
+def random_rotate(img, labels, rng: np.random.Generator,
+                  angle_range=(-10.0, 10.0)):
+    """Label-aware random rotation (port of yolov3_train_tf.py:521-547):
+    rotate the image about its center, transform label CENTERS through the
+    same affine (w/h stay axis-aligned like the reference), keep layout
+    [cls,cx,cy,w,h] normalized."""
+    import cv2
+    angle = float(rng.uniform(*angle_range))
+    h, w = img.shape[:2]
+    M = cv2.getRotationMatrix2D((w // 2, h // 2), angle, 1.0)
+    out = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_CUBIC,
+                         borderMode=cv2.BORDER_CONSTANT)
+    labels = np.asarray(labels, np.float64).reshape(-1, 5).copy()
+    if len(labels):
+        centers = np.stack([labels[:, 1] * w, labels[:, 2] * h], -1)
+        rot = cv2.transform(centers[None].astype(np.float32), M)[0]
+        labels[:, 1] = rot[:, 0] / w
+        labels[:, 2] = rot[:, 1] / h
+        keep = ((labels[:, 1] > 0) & (labels[:, 1] < 1)
+                & (labels[:, 2] > 0) & (labels[:, 2] < 1))
+        labels = labels[keep]
+    return out, labels
+
+
+def random_crop(img, labels, rng: np.random.Generator,
+                min_size: float = 0.3, max_size: float = 1.0):
+    """Label-aware random crop (port of yolov3_train_tf.py:549-575): crop
+    a random square fraction, rescale labels into the crop, drop labels
+    whose centers fall outside."""
+    h, w = img.shape[:2]
+    frac = float(rng.uniform(min_size, max_size))
+    ch, cw = max(1, int(h * frac)), max(1, int(w * frac))
+    y1 = int(rng.integers(0, h - ch + 1))
+    x1 = int(rng.integers(0, w - cw + 1))
+    out = img[y1:y1 + ch, x1:x1 + cw]
+    labels = np.asarray(labels, np.float64).reshape(-1, 5).copy()
+    if len(labels):
+        labels[:, 1] = (labels[:, 1] * w - x1) / cw
+        labels[:, 2] = (labels[:, 2] * h - y1) / ch
+        labels[:, 3] = labels[:, 3] * w / cw
+        labels[:, 4] = labels[:, 4] * h / ch
+        keep = ((labels[:, 1] > 0) & (labels[:, 1] < 1)
+                & (labels[:, 2] > 0) & (labels[:, 2] < 1)
+                & (labels[:, 3] > 0) & (labels[:, 4] > 0))
+        labels = labels[keep]
+    return out, labels
+
+
 def build_v3_target(labels_cxcywh_cls, cfg: YoloV3Config) -> np.ndarray:
     """Normalized [cls,cx,cy,w,h] rows -> [G,G,A,6] v3-style target
     (sigmoid-space xy offsets, log-space wh vs anchor, conf, class)."""
@@ -289,6 +341,12 @@ class YoloV3Trainer:
                 mosaic, lab = self._load(self.files[int(
                     self.rng.integers(0, len(self.files)))])
                 import cv2
+                mosaic = cv2.resize(mosaic, (img_size, img_size))
+            if self.cfg.rotate and self.rng.random() < self.cfg.rotate_prob:
+                mosaic, lab = random_rotate(mosaic, lab, self.rng)
+            if self.cfg.crop and self.rng.random() < self.cfg.crop_prob:
+                import cv2
+                mosaic, lab = random_crop(mosaic, lab, self.rng)
                 mosaic = cv2.resize(mosaic, (img_size, img_size))
             imgs.append(mosaic.astype(np.float32) / 255.0)
             tgts.append(build_v3_target(lab, cfg))
