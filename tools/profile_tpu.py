@@ -68,7 +68,8 @@ def main():
         for mode in (sys.argv[3].split(",") if len(sys.argv) > 3
                      else ["pallas_arena"]):
             eng = Int8Engine(graph, mode=mode)
-            xc = jax.device_put(np.ascontiguousarray(x.transpose(3, 2, 1, 0)))
+            xc = jax.device_put(np.ascontiguousarray(
+                x.transpose(eng._perm_in)))
 
             def run_plan(xc, eng=eng):
                 env = {eng.input_idx: xc}

@@ -15,22 +15,27 @@ statically planned activation arena (``network.c:2944-3100``,
     (pre-padded) interior of each consumer's alloc — no PAD ops, no staging
     copies, no whole-tensor int8<->int32 round trips;
   * windowed/strided ops (depthwise conv, stem conv, maxpool) read their
-    taps directly from the padded refs (any offset / stride is legal on
-    refs);
+    taps directly from the padded refs (any offset is legal on refs;
+    strided loads require 32-bit data, so strided-consumed tensors get
+    int32 allocs);
   * pad borders are constant across batch tiles, so they are filled once at
     grid step 0 and persist in scratch across the grid;
   * CONCATENATION dissolves: single-consumer in-stage concat inputs alias
     channel ranges of the concat output's allocs, so their producers write
-    in place;
-  * 1x1 convs read one contiguous int8 value and hit the MXU via
-    ``dot_general`` with ``preferred_element_type=int32``.
+    in place.
+
+Two activation layouts (both [*, NT=128-lane batch] tiled):
+
+  * ``cwhn`` — [C, W, H, N]: H in sublanes.  All convolutions run as VPU
+    tap FMAs; 1x1 convs contract the plain C dim (measured VPU-bound).
+  * ``whcn`` — [W, H, C, N]: C in sublanes.  1x1 convs become per-(w,h)
+    2D ``dot_general`` [Co,Ci] @ [Ci,N] — the MXU shape (measured at the
+    HBM floor in microbenchmarks, vs ~1.5 GMAC/ms for plain-dim dots) —
+    and all window offsets/strides move to plain dims.
 
 Both requant semantics are supported (fast float32 / exact gemmlowp) with
 the same RequantSpec / LeakySpec math as the other Pallas paths, so the
 arena modes are bit-identical to "fast" / "exact" respectively.
-
-Layout: ``[C, W, H, N]`` like the other Pallas paths (H in sublanes, batch
-in lanes); the grid tiles the batch at NT=128 frames per step.
 
 Reference roles replaced: the binary kernel library's graph walk
 (``ai_platform_network_process``, ``layers_conv2d.h:192``,
@@ -60,32 +65,46 @@ NT = 128
 # estimate); ARENA_BUDGET=999999999 -> whole net in one kernel
 ARENA_BUDGET = int(os.environ.get("YOLOFACE_TPU_ARENA_BUDGET",
                                   24 * 1024 * 1024))
-# live int32 accumulator bytes per requant strip (env-tunable for perf
-# experiments; the exact path multiplies the per-element estimate by its
-# SRDHM temporary expansion)
+# live int32 accumulator bytes per requant strip (env-tunable)
 _STRIP_TARGET = int(os.environ.get("YOLOFACE_TPU_STRIP_TARGET", 4 << 20))
 
 Pads = Tuple[Tuple[int, int], Tuple[int, int]]
 NOPAD: Pads = ((0, 0), (0, 0))
 
 
-def _sublane_pad(h: int, itemsize: int) -> int:
-    q = 32 // itemsize          # int8 tile (32,128); int32 tile (8,128)
-    return -(-h // q) * q
+# --------------------------------------------------------------------------
+# layout helpers: dims are canonically (c, w, h) + batch lanes
+# --------------------------------------------------------------------------
+def _shape4(layout: str, c: int, w: int, h: int) -> Tuple[int, int, int]:
+    return (c, w, h) if layout == "cwhn" else (w, h, c)
+
+
+def _ix(layout: str, cs, ws, hs) -> tuple:
+    """Index tuple for a [*, NT] ref/value in the given layout."""
+    return ((cs, ws, hs, slice(None)) if layout == "cwhn"
+            else (ws, hs, cs, slice(None)))
+
+
+def _ch_axis(layout: str) -> int:
+    return 0 if layout == "cwhn" else 2
+
+
+def _chvec(layout: str, vec, c: int):
+    """Per-channel [C]/[C,1] operand value -> broadcastable 4D shape."""
+    return vec.reshape((c, 1, 1, 1) if layout == "cwhn" else (1, 1, c, 1))
 
 
 class Alloc:
-    """One VMEM scratch buffer: interior [c, w, h] + pad borders.
+    """One VMEM scratch buffer: interior (c, w, h) + pad borders.
 
     dtype is int8 unless a consumer reads the tensor with stride > 1:
     Mosaic only implements strided loads for 32-bit data, so those allocs
-    are int32 (producers store their int32 result directly — no widening
-    on the consumer side either).
-    """
+    are int32 (producers store their int32 result directly)."""
 
-    def __init__(self, aid: int, c: int, w: int, h: int, pads: Pads,
-                 fill: int, dtype=jnp.int8):
+    def __init__(self, aid: int, layout: str, c: int, w: int, h: int,
+                 pads: Pads, fill: int, dtype=jnp.int8):
         self.id = aid
+        self.layout = layout
         self.c, self.w, self.h = c, w, h
         self.pads = pads
         self.fill = fill
@@ -94,13 +113,16 @@ class Alloc:
     @property
     def shape(self) -> Tuple[int, int, int]:
         (pw0, pw1), (ph0, ph1) = self.pads
-        return (self.c, self.w + pw0 + pw1, self.h + ph0 + ph1)
+        return _shape4(self.layout, self.c, self.w + pw0 + pw1,
+                       self.h + ph0 + ph1)
 
     @property
     def est_bytes(self) -> int:
-        c, w, hp = self.shape
         isz = np.dtype(self.dtype).itemsize
-        return c * w * _sublane_pad(hp, isz) * NT * isz
+        q = 32 // isz                      # sublane quantum per dtype
+        s = list(self.shape)
+        s[-1] = -(-s[-1] // q) * q         # sublane dim is shape[-1]
+        return int(np.prod(s)) * NT * isz
 
 
 class View:
@@ -114,7 +136,8 @@ class View:
 class _Ctx:
     """In-kernel context: resolves tensor reads/writes against the arena."""
 
-    def __init__(self, views, in_refs, out_refs, refs, shapes):
+    def __init__(self, layout, views, in_refs, out_refs, refs, shapes):
+        self.layout = layout
         self.views: Dict[int, List[View]] = views
         self.in_refs = in_refs
         self.out_refs = out_refs
@@ -134,17 +157,20 @@ class _Ctx:
         raise KeyError(f"no view of tensor {t} with pads {pads}")
 
     def write(self, t: int, w0: int, w1: int, val):
-        """Store an output strip [c, w1-w0, h, NT] into every view (+ the
-        stage output ref when t crosses the stage boundary).  ``val`` may
-        be int8 or in-range int32; each view stores its own dtype."""
+        """Store an output strip (c, w1-w0, h) into every view (+ the stage
+        output ref when t crosses the stage boundary).  ``val`` is laid out
+        per the arena layout and may be int8 or in-range int32."""
         c, _, h = self.shapes[t]
+        L = self.layout
         for v in self.views.get(t, []):
             a = v.alloc
             (pw0, _), (ph0, _) = a.pads
-            self.refs[a.id][v.c0:v.c0 + c, pw0 + w0:pw0 + w1,
-                            ph0:ph0 + h, :] = val.astype(a.dtype)
+            self.refs[a.id][_ix(L, slice(v.c0, v.c0 + c),
+                                slice(pw0 + w0, pw0 + w1),
+                                slice(ph0, ph0 + h))] = val.astype(a.dtype)
         if t in self.out_refs:
-            self.out_refs[t][:, w0:w1, :, :] = val.astype(jnp.int8)
+            self.out_refs[t][_ix(L, slice(0, c), slice(w0, w1),
+                                 slice(0, h))] = val.astype(jnp.int8)
 
 
 class ArenaOp:
@@ -199,12 +225,14 @@ def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
     return x_idx, NOPAD, 0
 
 
-def lower_arena_ops(graph: GraphDef, exact: bool):
+def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
     """Returns (arena_ops, concat_alias) after absorbing LEAKY + PAD."""
     from yoloface_tpu.runtime.pallas_plan import _leaky_spec, _requant_spec
     from yoloface_tpu.runtime.engine import _check_no_dilation
     from collections import Counter
 
+    L = layout
+    CH = _ch_axis(L)
     t = graph.tensor
     uses = Counter()
     for op in graph.ops:
@@ -267,32 +295,63 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
 
             if name == "CONV_2D" and wd.shape[1] == wd.shape[2] == 1:
                 co, ci = wd.shape[0], wd.shape[3]
-                w_io = np.ascontiguousarray(wd.reshape(co, ci).T)
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
+                if L == "cwhn":
+                    w_arr = np.ascontiguousarray(wd.reshape(co, ci).T)
 
-                def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, ci=ci,
-                         requant=requant, leaky=leaky, co=co, ow=ow, oh=oh,
-                         exact=exact):
-                    w_v, b_v, p1, p2 = opvals
-                    xr, c0, wb, hb = ctx.read_base(x_idx)
-                    x = xr[c0:c0 + ci, wb:wb + ow, hb:hb + oh, :]
-                    if x.dtype != jnp.int8:   # int32 alloc (strided peer)
-                        x = x.astype(jnp.int8)
-                    acc = lax.dot_general(
-                        w_v, x, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    acc = acc + b_v.reshape(co, 1, 1, 1)
-                    for s0, s1 in _strips(ow, co, oh, exact):
-                        r = requant.apply_in_kernel(acc[:, s0:s1], p1, p2)
-                        if leaky is not None:
-                            r = leaky.apply(r)
-                        ctx.write(out_idx, s0, s1, r)
+                    def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
+                             ci=ci, requant=requant, leaky=leaky, co=co,
+                             ow=ow, oh=oh, exact=exact):
+                        w_v, b_v, p1, p2 = opvals
+                        xr, c0, wb, hb = ctx.read_base(x_idx)
+                        x = xr[c0:c0 + ci, wb:wb + ow, hb:hb + oh, :]
+                        if x.dtype != jnp.int8:
+                            x = x.astype(jnp.int8)
+                        acc = lax.dot_general(
+                            w_v, x, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        acc = acc + b_v.reshape(co, 1, 1, 1)
+                        for s0, s1 in _strips(ow, co, oh, exact):
+                            r = requant.apply_in_kernel(
+                                acc[:, s0:s1], p1, p2)
+                            if leaky is not None:
+                                r = leaky.apply(r)
+                            ctx.write(out_idx, s0, s1, r)
+                else:
+                    # whcn: per-(w,h) 2D MXU dots [Co,Ci] @ [Ci,NT]
+                    w_arr = np.ascontiguousarray(wd.reshape(co, ci))
+
+                    def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
+                             ci=ci, requant=requant, leaky=leaky, co=co,
+                             ow=ow, oh=oh, exact=exact):
+                        w_v, b_v, p1, p2 = opvals
+                        xr, c0, wb, hb = ctx.read_base(x_idx)
+                        for s0, s1 in _strips(ow, co, oh, exact):
+                            rows = []
+                            for wpos in range(s0, s1):
+                                cols = []
+                                for hpos in range(oh):
+                                    x2d = xr[wb + wpos, hb + hpos,
+                                             c0:c0 + ci, :]
+                                    if x2d.dtype != jnp.int8:
+                                        x2d = x2d.astype(jnp.int8)
+                                    cols.append(lax.dot_general(
+                                        w_v, x2d, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32))
+                                rows.append(jnp.stack(cols, 0))
+                            acc = jnp.stack(rows, 0)     # [ws, oh, Co, NT]
+                            acc = acc + b_v.reshape(1, 1, co, 1)
+                            r = requant.apply_in_kernel(acc, p1, p2,
+                                                        ch_axis=2)
+                            if leaky is not None:
+                                r = leaky.apply(r)
+                            ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
                     out_idx, [(x_idx, NOPAD, 0, False)],
-                    [w_io, bias_eff, requant.p1, requant.p2], emit))
+                    [w_arr, bias_eff, requant.p1, requant.p2], emit))
 
             elif name == "CONV_2D":
                 co, kh, ci = wd.shape[0], wd.shape[1], wd.shape[3]
@@ -312,24 +371,29 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
                     xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
                     nt = xr.shape[-1]
                     for s0, s1 in _strips(ow, co, oh, exact):
-                        acc = (b_v.reshape(co, 1, 1, 1)
-                               + jnp.zeros((co, s1 - s0, oh, nt),
-                                           jnp.int32))
+                        acc = (_chvec(L, b_v, co)
+                               + jnp.zeros(_shape4(L, co, s1 - s0, oh)
+                                           + (nt,), jnp.int32))
                         for dy in range(kh):
                             for dx in range(kh):
-                                ws = wb + s0 * stride + dy
-                                hs = hb + dx
-                                sl = xr[
-                                    c0:c0 + ci,
-                                    ws:ws + (s1 - s0 - 1) * stride + 1:stride,
-                                    hs:hs + (oh - 1) * stride + 1:stride,
-                                    :].astype(jnp.int32)
+                                wsl = slice(
+                                    wb + s0 * stride + dy,
+                                    wb + s0 * stride + dy
+                                    + (s1 - s0 - 1) * stride + 1, stride)
+                                hsl = slice(hb + dx,
+                                            hb + dx + (oh - 1) * stride + 1,
+                                            stride)
                                 k = dy * kh + dx
                                 for ci_i in range(ci):
-                                    col = w_v[k:k + 1, :, ci_i:ci_i + 1
-                                              ].reshape(co, 1, 1, 1)
-                                    acc = acc + sl[ci_i:ci_i + 1] * col
-                        r = requant.apply_in_kernel(acc, p1, p2)
+                                    sl = xr[_ix(L, slice(c0 + ci_i,
+                                                         c0 + ci_i + 1),
+                                                wsl, hsl)].astype(jnp.int32)
+                                    col = _chvec(
+                                        L, w_v[k:k + 1, :, ci_i:ci_i + 1],
+                                        co)
+                                    acc = acc + sl * col
+                        r = requant.apply_in_kernel(acc, p1, p2,
+                                                    ch_axis=_ch_axis(L))
                         if leaky is not None:
                             r = leaky.apply(r)
                         ctx.write(out_idx, s0, s1, r)
@@ -353,20 +417,24 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
                     xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
                     nt = xr.shape[-1]
                     for s0, s1 in _strips(ow, c, oh, exact):
-                        acc = (b_v.reshape(c, 1, 1, 1)
-                               + jnp.zeros((c, s1 - s0, oh, nt), jnp.int32))
+                        acc = (_chvec(L, b_v, c)
+                               + jnp.zeros(_shape4(L, c, s1 - s0, oh)
+                                           + (nt,), jnp.int32))
                         for dy in range(3):
                             for dx in range(3):
-                                ws = wb + s0 * stride + dy
-                                hs = hb + dx
-                                sl = xr[
-                                    c0:c0 + c,
-                                    ws:ws + (s1 - s0 - 1) * stride + 1:stride,
-                                    hs:hs + (oh - 1) * stride + 1:stride,
-                                    :].astype(jnp.int32)
-                                tap = w_v[:, dy * 3 + dx].reshape(c, 1, 1, 1)
+                                wsl = slice(
+                                    wb + s0 * stride + dy,
+                                    wb + s0 * stride + dy
+                                    + (s1 - s0 - 1) * stride + 1, stride)
+                                hsl = slice(hb + dx,
+                                            hb + dx + (oh - 1) * stride + 1,
+                                            stride)
+                                sl = xr[_ix(L, slice(c0, c0 + c), wsl, hsl)
+                                        ].astype(jnp.int32)
+                                tap = _chvec(L, w_v[:, dy * 3 + dx], c)
                                 acc = acc + sl * tap
-                        r = requant.apply_in_kernel(acc, p1, p2)
+                        r = requant.apply_in_kernel(acc, p1, p2,
+                                                    ch_axis=_ch_axis(L))
                         if leaky is not None:
                             r = leaky.apply(r)
                         ctx.write(out_idx, s0, s1, r)
@@ -392,25 +460,29 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
                 xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
                 c = ctx.shapes[x_idx][0]
                 nt = xr.shape[-1]
-                rows = jnp.full((c, ow, hp, nt), -128, jnp.int32)
+                rows = jnp.full(_shape4(L, c, ow, hp) + (nt,), -128,
+                                jnp.int32)
                 for dy in range(fw):
-                    ws = wb + dy
-                    sl = xr[c0:c0 + c,
-                            ws:ws + (ow - 1) * stride + 1:stride,
-                            hb:hb + hp, :].astype(jnp.int32)
+                    wsl = slice(wb + dy, wb + dy + (ow - 1) * stride + 1,
+                                stride)
+                    sl = xr[_ix(L, slice(c0, c0 + c), wsl,
+                                slice(hb, hb + hp))].astype(jnp.int32)
                     rows = jnp.maximum(rows, sl)
 
                 def cols(sref):
                     sref[:] = rows
-                    acc = jnp.full((c, ow, oh, nt), -128, jnp.int32)
+                    acc = jnp.full(_shape4(L, c, ow, oh) + (nt,), -128,
+                                   jnp.int32)
                     for dx in range(fh):
-                        sl = sref[:, :,
-                                  dx:dx + (oh - 1) * stride + 1:stride, :]
-                        acc = jnp.maximum(acc, sl)
+                        hsl = slice(dx, dx + (oh - 1) * stride + 1, stride)
+                        acc = jnp.maximum(
+                            acc, sref[_ix(L, slice(0, c), slice(0, ow),
+                                          hsl)])
                     return acc
 
                 out = pl.run_scoped(
-                    cols, pltpu.VMEM((c, ow, hp, nt), jnp.int32))
+                    cols, pltpu.VMEM(_shape4(L, c, ow, hp) + (nt,),
+                                     jnp.int32))
                 ctx.write(out_idx, 0, ow, out)
 
             arena_ops.append(ArenaOp(
@@ -440,10 +512,12 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
                 ar, ca, wa, ha = ctx.read_base(a_idx)
                 br, cb, wb2, hb2 = ctx.read_base(b_idx)
                 c = ctx.shapes[a_idx][0]
-                va = ar[ca:ca + c, wa:wa + ow, ha:ha + oh, :
-                        ].astype(jnp.int32) - spec["zp1"]
-                vb = br[cb:cb + c, wb2:wb2 + ow, hb2:hb2 + oh, :
-                        ].astype(jnp.int32) - spec["zp2"]
+                va = ar[_ix(L, slice(ca, ca + c), slice(wa, wa + ow),
+                            slice(ha, ha + oh))].astype(jnp.int32) \
+                    - spec["zp1"]
+                vb = br[_ix(L, slice(cb, cb + c), slice(wb2, wb2 + ow),
+                            slice(hb2, hb2 + oh))].astype(jnp.int32) \
+                    - spec["zp2"]
                 if spec["exact"]:
                     va = va << spec["left_shift"]
                     vb = vb << spec["left_shift"]
@@ -481,8 +555,9 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
                      ow=ow, oh=oh):
                 xr, c0, wb, hb = ctx.read_base(x_idx)
                 c = ctx.shapes[x_idx][0]
-                v = xr[c0:c0 + c, wb:wb + ow, hb:hb + oh, :
-                       ].astype(jnp.int32) - spec["zp_in"]
+                v = xr[_ix(L, slice(c0, c0 + c), slice(wb, wb + ow),
+                           slice(hb, hb + oh))].astype(jnp.int32) \
+                    - spec["zp_in"]
                 if spec["exact"]:
                     o = multiply_by_quantized_multiplier(
                         v, jnp.int32(spec["qm"]), jnp.int32(spec["sh"]))
@@ -503,7 +578,8 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
                      ow=ow, oh=oh):
                 xr, c0, wb, hb = ctx.read_base(x_idx)
                 c = ctx.shapes[x_idx][0]
-                v = xr[c0:c0 + c, wb:wb + ow, hb:hb + oh, :]
+                v = xr[_ix(L, slice(c0, c0 + c), slice(wb, wb + ow),
+                           slice(hb, hb + oh))]
                 ctx.write(out_idx, 0, ow, spec.apply(v))
 
             arena_ops.append(ArenaOp(out_idx, [(x_idx, NOPAD, 0, False)],
@@ -526,18 +602,20 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
                     if aliased and out_idx not in ctx.out_refs:
                         continue        # producers already wrote in place
                     xr, c0, wb, hb = ctx.read_base(i)
-                    val = xr[c0:c0 + ci, wb:wb + ow, hb:hb + oh, :]
+                    val = xr[_ix(L, slice(c0, c0 + ci), slice(wb, wb + ow),
+                                 slice(hb, hb + oh))]
                     if not aliased:
                         for v in out_views:
                             a = v.alloc
                             (pw0, _), (ph0, _) = a.pads
-                            ctx.refs[a.id][
-                                v.c0 + coff:v.c0 + coff + ci,
-                                pw0:pw0 + ow, ph0:ph0 + oh, :
-                            ] = val.astype(a.dtype)
+                            ctx.refs[a.id][_ix(
+                                L, slice(v.c0 + coff, v.c0 + coff + ci),
+                                slice(pw0, pw0 + ow),
+                                slice(ph0, ph0 + oh))] = val.astype(a.dtype)
                     if out_idx in ctx.out_refs:
-                        ctx.out_refs[out_idx][coff:coff + ci, :, :, :] = \
-                            val.astype(jnp.int8)
+                        ctx.out_refs[out_idx][_ix(
+                            L, slice(coff, coff + ci), slice(0, ow),
+                            slice(0, oh))] = val.astype(jnp.int8)
 
             arena_ops.append(ArenaOp(
                 out_idx, [(i, NOPAD, 0, False) for i in idxs], [], emit))
@@ -551,22 +629,24 @@ def lower_arena_ops(graph: GraphDef, exact: bool):
 # --------------------------------------------------------------------------
 # stage partitioning + pallas_call assembly
 # --------------------------------------------------------------------------
-def _tensor_chw(graph: GraphDef, i: int) -> Tuple[int, int, int]:
+def _tensor_cwh(graph: GraphDef, i: int) -> Tuple[int, int, int]:
     s = graph.tensor(i).shape
     return (int(s[3]), int(s[2]), int(s[1]))     # (C, W, H)
 
 
 def build_arena_plan(graph: GraphDef, exact: bool,
-                     budget: Optional[int] = None) -> List[Callable]:
+                     budget: Optional[int] = None,
+                     layout: str = "cwhn") -> List[Callable]:
+    assert layout in ("cwhn", "whcn"), layout
     if budget is None:
         budget = ARENA_BUDGET
-    arena_ops, concat_alias = lower_arena_ops(graph, exact)
+    arena_ops, concat_alias = lower_arena_ops(graph, exact, layout)
     graph_outputs = set(graph.outputs)
 
     # greedy stage partition on estimated alloc bytes
     def op_bytes(aop: ArenaOp) -> int:
-        c, w, h = _tensor_chw(graph, aop.out_idx)
-        return Alloc(0, c, w, h, ((1, 1), (1, 1)), 0).est_bytes
+        c, w, h = _tensor_cwh(graph, aop.out_idx)
+        return Alloc(0, layout, c, w, h, ((1, 1), (1, 1)), 0).est_bytes
 
     stages: List[List[ArenaOp]] = []
     cur: List[ArenaOp] = []
@@ -582,13 +662,15 @@ def build_arena_plan(graph: GraphDef, exact: bool,
         stages.append(cur)
 
     plan: List[Callable] = []
-    for si, stage in enumerate(stages):
+    for si in range(len(stages)):
         plan.append(_build_stage(graph, stages, si, concat_alias,
-                                 graph_outputs))
+                                 graph_outputs, layout))
     return plan
 
 
-def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs):
+def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs,
+                 layout: str):
+    L = layout
     stage = stages[si]
     internal = {aop.out_idx for aop in stage}
     ext_inputs: List[int] = []
@@ -608,9 +690,9 @@ def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs):
 
     def new_alloc(tensor: int, pads: Pads, fill: int,
                   strided: bool = False) -> Alloc:
-        c, w, h = _tensor_chw(graph, tensor)
+        c, w, h = _tensor_cwh(graph, tensor)
         # strided consumers need 32-bit loads (Mosaic limitation)
-        a = Alloc(len(allocs), c, w, h, pads, fill,
+        a = Alloc(len(allocs), L, c, w, h, pads, fill,
                   jnp.int32 if strided else jnp.int8)
         allocs.append(a)
         return a
@@ -664,7 +746,7 @@ def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs):
         operand_arrays.extend(aop.operands)
         operand_slices.append((start, len(operand_arrays)))
 
-    shapes = {i: _tensor_chw(graph, i)
+    shapes = {i: _tensor_cwh(graph, i)
               for i in list(internal) + ext_inputs}
 
     n_in, n_op, n_out = len(ext_inputs), len(operand_arrays), len(outputs)
@@ -676,7 +758,7 @@ def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs):
                             refs[n_in + n_op:n_in + n_op + n_out]))
         arefs = {a.id: r for a, r in
                  zip(allocs, refs[n_in + n_op + n_out:])}
-        ctx = _Ctx(views, in_refs, out_refs, arefs, shapes)
+        ctx = _Ctx(L, views, in_refs, out_refs, arefs, shapes)
 
         # fill constant pad borders once; they persist across grid steps
         @pl.when(pl.program_id(0) == 0)
@@ -686,19 +768,26 @@ def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs):
                     continue
                 (pw0, pw1), (ph0, ph1) = a.pads
                 r = arefs[a.id]
-                cS, wS, hS = a.shape
                 nt = r.shape[-1]
+                cS = a.c
+                wS, hS = a.w + pw0 + pw1, a.h + ph0 + ph1
                 f, dt = a.fill, a.dtype
+
+                def fill(cs, ws, hs, shape):
+                    r[_ix(L, cs, ws, hs)] = jnp.full(
+                        _shape4(L, *shape) + (nt,), f, dt)
+
+                call = slice(0, cS)
                 if pw0:
-                    r[:, :pw0, :, :] = jnp.full((cS, pw0, hS, nt), f, dt)
+                    fill(call, slice(0, pw0), slice(0, hS), (cS, pw0, hS))
                 if pw1:
-                    r[:, wS - pw1:, :, :] = jnp.full((cS, pw1, hS, nt),
-                                                     f, dt)
+                    fill(call, slice(wS - pw1, wS), slice(0, hS),
+                         (cS, pw1, hS))
                 if ph0:
-                    r[:, :, :ph0, :] = jnp.full((cS, wS, ph0, nt), f, dt)
+                    fill(call, slice(0, wS), slice(0, ph0), (cS, wS, ph0))
                 if ph1:
-                    r[:, :, hS - ph1:, :] = jnp.full((cS, wS, ph1, nt),
-                                                     f, dt)
+                    fill(call, slice(0, wS), slice(hS - ph1, hS),
+                         (cS, wS, ph1))
 
         # stage ext inputs into their padded views
         for tensor in staging:
@@ -707,8 +796,9 @@ def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs):
             for v in views[tensor]:
                 a = v.alloc
                 (pw0, _), (ph0, _) = a.pads
-                arefs[a.id][v.c0:v.c0 + c, pw0:pw0 + w,
-                            ph0:ph0 + h, :] = val.astype(a.dtype)
+                arefs[a.id][_ix(L, slice(v.c0, v.c0 + c),
+                                slice(pw0, pw0 + w),
+                                slice(ph0, ph0 + h))] = val.astype(a.dtype)
 
         opvals = [r[:] for r in op_refs]
         for aop, (a, b) in zip(stage, operand_slices):
@@ -729,11 +819,12 @@ def _build_stage(graph: GraphDef, stages, si, concat_alias, graph_outputs):
                          memory_space=pltpu.VMEM)
             for a in operand_arrays]
         out_specs = tuple(
-            pl.BlockSpec(shapes[o] + (nt,), lambda i: (0, 0, 0, i),
+            pl.BlockSpec(_shape4(L, *shapes[o]) + (nt,),
+                         lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM)
             for o in outputs)
         out_shape = tuple(
-            jax.ShapeDtypeStruct(shapes[o] + (n,), jnp.int8)
+            jax.ShapeDtypeStruct(_shape4(L, *shapes[o]) + (n,), jnp.int8)
             for o in outputs)
         scratch = [pltpu.VMEM(a.shape + (nt,), a.dtype) for a in allocs]
         res = pl.pallas_call(

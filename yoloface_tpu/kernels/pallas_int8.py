@@ -94,16 +94,17 @@ class RequantSpec:
     def operands(self):
         return jnp.asarray(self.p1), jnp.asarray(self.p2)
 
-    def apply_in_kernel(self, acc_i32, p1, p2):
-        """acc [C,H,W,NT]; p1/p2 are the loaded [C,1] operand values."""
-        c = acc_i32.shape[0]
+    def apply_in_kernel(self, acc_i32, p1, p2, ch_axis: int = 0):
+        """acc 4D with channels on ``ch_axis``; p1/p2 are the loaded [C,1]
+        operand values."""
+        c = acc_i32.shape[ch_axis]
+        shape = tuple(c if a == ch_axis else 1 for a in range(4))
         if self.exact:
-            qm = p1.reshape(c, 1, 1, 1)
-            shift = p2.reshape(c, 1, 1, 1)
-            v = multiply_by_quantized_multiplier(acc_i32, qm, shift)
+            v = multiply_by_quantized_multiplier(
+                acc_i32, p1.reshape(shape), p2.reshape(shape))
         else:
             v = jnp.round(acc_i32.astype(jnp.float32)
-                          * p1.reshape(c, 1, 1, 1)).astype(jnp.int32)
+                          * p1.reshape(shape)).astype(jnp.int32)
         return jnp.clip(v + self.zp_out, -128, 127).astype(jnp.int8)
 
 

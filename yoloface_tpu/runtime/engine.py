@@ -66,7 +66,8 @@ class Int8Engine:
         """
         if mode not in ("exact", "fast", "pallas", "pallas_exact",
                         "pallas_fused", "pallas_fused_exact",
-                        "pallas_arena", "pallas_arena_exact"):
+                        "pallas_arena", "pallas_arena_exact",
+                        "pallas_mxu", "pallas_mxu_exact"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.mode = mode
         self.graph = graph
@@ -85,9 +86,19 @@ class Int8Engine:
                 f"{in_t.qparams}. For float graphs use the FP32 model path "
                 f"(yoloface_tpu.models).")
         self.input_shape = tuple(in_t.shape[1:])  # without batch
+        # layout of the pallas activation tensors + the NHWC<->layout perms
+        # ([N,H,W,C] in; CWHN = [C,W,H,N]; WHCN = [W,H,C,N])
+        if mode.startswith("pallas_mxu"):
+            self._perm_in, self._perm_out = (2, 1, 3, 0), (3, 1, 0, 2)
+        else:
+            self._perm_in = self._perm_out = (3, 2, 1, 0)
         if mode.startswith("pallas_arena"):
             from yoloface_tpu.kernels.pallas_arena import build_arena_plan
             self._plan = build_arena_plan(graph, exact=mode.endswith("exact"))
+        elif mode.startswith("pallas_mxu"):
+            from yoloface_tpu.kernels.pallas_arena import build_arena_plan
+            self._plan = build_arena_plan(graph, exact=mode.endswith("exact"),
+                                          layout="whcn")
         elif mode.startswith("pallas_fused"):
             from yoloface_tpu.kernels.pallas_fused import build_fused_plan
             self._plan = build_fused_plan(graph, exact=mode.endswith("exact"))
@@ -331,20 +342,19 @@ class Int8Engine:
                 pad = (-n) % 128
                 x = jnp.concatenate(
                     [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-            # NHWC -> [C, W, H, N]: H rides in sublanes (pads only to 8s),
-            # W stays a free dim — avoids the 4.5x sublane padding waste the
-            # small 7x7/14x14 layers would pay with W in sublanes.
-            x = jnp.transpose(x, (3, 2, 1, 0))
+            # NHWC -> pallas layout (CWHN keeps H in sublanes; WHCN puts C
+            # in sublanes so 1x1 convs hit the MXU)
+            x = jnp.transpose(x, self._perm_in)
         env = {self.input_idx: x}
         for fn in self._plan:
             env[fn.out_idx] = fn(env)
         if collect:
             if chwn:
-                env = {k: jnp.transpose(v, (3, 2, 1, 0))[:n]
+                env = {k: jnp.transpose(v, self._perm_out)[:n]
                        for k, v in env.items()}
             return env
         out = env[self.output_idx]
-        return jnp.transpose(out, (3, 2, 1, 0))[:n] if chwn else out
+        return jnp.transpose(out, self._perm_out)[:n] if chwn else out
 
     def __call__(self, x):
         """Run the graph on int8 frames [N,56,56,3] -> int8 [N,7,7,18]."""

@@ -58,8 +58,9 @@ def profile_engine(engine, x, iters: int = 5,
     import jax.numpy as jnp
 
     chwn = engine.mode.startswith("pallas")
-    # NHWC -> [C, W, H, N], matching Int8Engine._forward's layout
-    xin = jnp.transpose(jnp.asarray(x), (3, 2, 1, 0)) if chwn else jnp.asarray(x)
+    # NHWC -> the engine's pallas layout (see Int8Engine._forward)
+    xin = (jnp.transpose(jnp.asarray(x), engine._perm_in) if chwn
+           else jnp.asarray(x))
     env = {engine.input_idx: xin}
     for fn in engine._plan:
         env[fn.out_idx] = fn(env)
