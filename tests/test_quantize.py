@@ -116,6 +116,62 @@ def test_calibration_closure(int8_graph, dataset_images, rep_images):
     assert match >= total - 4, (match, total)
 
 
+def test_calibration_scale_level_parity(int8_graph, rep_images):
+    """Stronger than the detection-level closure: the per-tensor activation
+    SCALES and ZERO-POINTS chosen by our min/max observer agree with the
+    shipped graph's (MLIR-quantizer) values within tolerance on nearly all
+    activation tensors — catches silent min/max observation drift."""
+    weights = dequantize_template_weights(int8_graph)
+    new_graph = calibrate_from_weights(weights, rep_images, int8_graph)
+
+    checked, close = 0, 0
+    worst = []
+    for op in int8_graph.ops:
+        for ti in op.outputs:
+            q_ref = int8_graph.tensor(ti).qparams
+            q_new = new_graph.tensor(ti).qparams
+            if q_ref is None or len(q_ref.scales) != 1:
+                continue
+            checked += 1
+            rel = abs(q_new.scale - q_ref.scale) / q_ref.scale
+            zp_d = abs(q_new.zero_point - q_ref.zero_point)
+            if rel < 0.15 and zp_d <= 20:
+                close += 1
+            else:
+                worst.append((ti, rel, zp_d))
+    assert checked > 30
+    # the dequantized weights are not bit-identical to the original floats,
+    # and the MLIR quantizer's observation differs in minor details, so a
+    # couple of tensors may drift — but the bulk must agree tightly
+    assert close >= checked - 3, (close, checked, sorted(
+        worst, key=lambda t: -t[1])[:5])
+
+
+def test_observer_options(int8_graph, rep_images):
+    """percentile clips the range (scale <= minmax scale); ema produces a
+    valid graph; both calibrate to working engines."""
+    from yoloface_tpu.quantize.calibrate import observe_ranges
+    weights = dequantize_template_weights(int8_graph)
+    r_mm = observe_ranges(int8_graph, weights, rep_images[:8])
+    r_pct = observe_ranges(int8_graph, weights, rep_images[:8],
+                           observer="percentile", percentile=99.0)
+    r_ema = observe_ranges(int8_graph, weights, rep_images[:8], batch=2,
+                           observer="ema", ema_decay=0.5)
+    tighter = sum((r_pct[k][1] - r_pct[k][0])
+                  <= (r_mm[k][1] - r_mm[k][0]) + 1e-6 for k in r_mm)
+    assert tighter == len(r_mm)          # percentile never widens
+    strictly = sum((r_pct[k][1] - r_pct[k][0])
+                   < (r_mm[k][1] - r_mm[k][0]) - 1e-6 for k in r_mm)
+    assert strictly > len(r_mm) // 2     # and actually clips most tensors
+    for k in r_mm:                       # ema stays inside the envelope
+        assert r_ema[k][0] >= r_mm[k][0] - 1e-6
+        assert r_ema[k][1] <= r_mm[k][1] + 1e-6
+    g = calibrate_from_weights(weights, rep_images[:8], int8_graph,
+                               observer="percentile", percentile=99.0)
+    y = np.asarray(Int8Engine(g)(np.zeros((1, 56, 56, 3), np.int8)))
+    assert y.shape == (1, 7, 7, 18)
+
+
 def test_calibrate_flax_model_runs(int8_graph, rep_images):
     """End-to-end: Flax variables -> calibrate -> Int8Engine runs."""
     variables = variables_from_template(int8_graph)

@@ -159,23 +159,47 @@ def float_forward(template: GraphDef,
 
 
 def observe_ranges(template: GraphDef, weights, rep_images,
-                   batch: int = 8) -> Dict[int, Tuple[float, float]]:
-    """Min/max per tensor over the representative dataset (the analogue of
-    the TFLite quantizer's statistics pass over representative_dataset_gen,
-    tflite_quantize.py:29-58)."""
-    fwd = jax.jit(lambda xs: {
-        k: (v.min(), v.max())
-        for k, v in float_forward(template, weights, xs).items()})
+                   batch: int = 8, observer: str = "minmax",
+                   percentile: float = 99.9,
+                   ema_decay: float = 0.9) -> Dict[int, Tuple[float, float]]:
+    """Per-tensor activation ranges over the representative dataset (the
+    analogue of the TFLite quantizer's statistics pass over
+    representative_dataset_gen, tflite_quantize.py:29-58).
+
+    observer:
+      * "minmax"     — global min/max (what TFLite PTQ does; the parity
+                       default);
+      * "percentile" — symmetric percentile clipping (lo = P(100-p),
+                       hi = P(p)) — robust to activation outliers;
+      * "ema"        — exponential moving average of per-batch min/max
+                       (the torch.quantization MovingAverage observer
+                       scheme) — hardening option for streaming
+                       calibration.
+    """
+    if observer == "percentile":
+        fwd = jax.jit(
+            lambda xs: {k: (jnp.percentile(v, 100.0 - percentile),
+                            jnp.percentile(v, percentile))
+                        for k, v in float_forward(template, weights,
+                                                  xs).items()})
+    else:
+        fwd = jax.jit(lambda xs: {
+            k: (v.min(), v.max())
+            for k, v in float_forward(template, weights, xs).items()})
     ranges: Dict[int, Tuple[float, float]] = {}
     rep = np.asarray(rep_images, np.float32)
     for i in range(0, len(rep), batch):
         out = fwd(rep[i:i + batch])
         for k, (lo, hi) in out.items():
             lo, hi = float(lo), float(hi)
-            if k in ranges:
-                ranges[k] = (min(ranges[k][0], lo), max(ranges[k][1], hi))
-            else:
+            if k not in ranges:
                 ranges[k] = (lo, hi)
+            elif observer == "ema":
+                d = ema_decay
+                ranges[k] = (d * ranges[k][0] + (1 - d) * lo,
+                             d * ranges[k][1] + (1 - d) * hi)
+            else:   # minmax and percentile aggregate by envelope
+                ranges[k] = (min(ranges[k][0], lo), max(ranges[k][1], hi))
     return ranges
 
 
@@ -265,15 +289,19 @@ def build_int8_graph(template: GraphDef, weights, ranges,
     return g
 
 
-def calibrate(variables, rep_images, template: GraphDef) -> GraphDef:
+def calibrate(variables, rep_images, template: GraphDef,
+              observer: str = "minmax", **observer_kw) -> GraphDef:
     """Flax YoloFace variables + representative images -> int8 GraphDef."""
     weights = fold_batchnorm(variables)
-    ranges = observe_ranges(template, weights, rep_images)
+    ranges = observe_ranges(template, weights, rep_images,
+                            observer=observer, **observer_kw)
     return build_int8_graph(template, weights, ranges)
 
 
-def calibrate_from_weights(weights, rep_images,
-                           template: GraphDef) -> GraphDef:
+def calibrate_from_weights(weights, rep_images, template: GraphDef,
+                           observer: str = "minmax",
+                           **observer_kw) -> GraphDef:
     """Same, from pre-folded float weights {op_index: (w, b)}."""
-    ranges = observe_ranges(template, weights, rep_images)
+    ranges = observe_ranges(template, weights, rep_images,
+                            observer=observer, **observer_kw)
     return build_int8_graph(template, weights, ranges)
