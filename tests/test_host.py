@@ -81,6 +81,48 @@ def test_run_monitor_from_text():
     assert "Frame 4" in out.getvalue()
 
 
+def test_monitor_socket_source():
+    """Byte-stream transport parity: protocol text pushed over a TCP socket
+    (the serial-port role, 上位机/IAP/main.py:228-311) reaches the monitor
+    through socket_stream and parses into the same frames — including a
+    frame split across TCP segments (the GUI's partial-line buffering,
+    main.py:379-399)."""
+    import socket
+    import threading
+
+    from yoloface_tpu.host.monitor import socket_stream
+
+    boxes = np.array([[5.0, 6.0, 20.0, 25.0]])
+    text = "".join(protocol.encode_frame(i + 1, boxes, np.array([0.9]),
+                                         np.array([True]))
+                   for i in range(3))
+    payload = text.encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def produce():
+        conn, _ = srv.accept()
+        mid = len(payload) // 2          # split mid-frame
+        conn.sendall(payload[:mid])
+        conn.sendall(payload[mid:])
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    out = io.StringIO()
+    state = run_monitor(socket_stream("127.0.0.1", port, timeout=10.0),
+                        render_every=1, out=out)
+    t.join(5.0)
+    assert state.frames == 3
+    assert state.total_faces == 3
+    assert "Frame 3" in out.getvalue()
+
+
 def test_camera_streamer_end_to_end(int8_graph):
     """Directory frames -> double-buffered streamer -> pipeline ->
     protocol -> parsed frames; faces must be found on the real dataset."""

@@ -105,6 +105,40 @@ def run_monitor(stream, render_every: int = 1, out=sys.stdout,
     return state
 
 
+def socket_stream(host: str = "127.0.0.1", port: int = 8765,
+                  listen: bool = False, timeout: Optional[float] = None):
+    """Byte-stream transport: yield protocol text chunks from a TCP
+    connection — the serial-port role of the reference GUI
+    (`上位机/IAP/main.py:228-311` connect_serial + receive_data thread;
+    pyserial is absent in this environment, so a socket is the honest
+    byte-stream equivalent).  ``listen=True`` binds and accepts one
+    producer (firmware-side analogue pushes the UART text in); otherwise
+    connects as a client.  Terminates on EOF."""
+    import socket as socketlib
+
+    if listen:
+        srv = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+        srv.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+        srv.bind((host, port))
+        srv.listen(1)
+        if timeout is not None:
+            srv.settimeout(timeout)
+        conn, _ = srv.accept()
+        srv.close()
+    else:
+        conn = socketlib.create_connection((host, port), timeout=timeout)
+    if timeout is not None:
+        conn.settimeout(timeout)
+    try:
+        while True:
+            data = conn.recv(4096)
+            if not data:
+                return
+            yield data.decode("utf-8", errors="replace")
+    finally:
+        conn.close()
+
+
 def load_config(path: str) -> dict:
     """Persisted monitor defaults — the GUI's JSON config
     (main.py:585-613, serial_config.json analogue)."""
@@ -128,8 +162,13 @@ def main(argv=None):
     p.add_argument("--config", default="monitor_config.json",
                    help="JSON defaults file (persisted on exit)")
     p.add_argument("--source", choices=["stdin", "file", "synthetic",
-                                        "dataset"])
+                                        "dataset", "socket"])
     p.add_argument("--file", help="protocol text file (--source file)")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="TCP host (--source socket)")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--listen", action="store_true",
+                   help="bind and accept the producer instead of connecting")
     p.add_argument("--dataset")
     p.add_argument("--batches", type=int)
     p.add_argument("--batch-size", type=int)
@@ -155,6 +194,10 @@ def main(argv=None):
     if args.source == "stdin":
         state = run_monitor(iter(sys.stdin.readline, ""),
                             args.render_every, draw_canvas=args.canvas)
+    elif args.source == "socket":
+        state = run_monitor(
+            socket_stream(args.host, args.port, listen=args.listen),
+            args.render_every, draw_canvas=args.canvas)
     elif args.source == "file":
         with open(args.file) as f:
             state = run_monitor([f.read()], args.render_every,
