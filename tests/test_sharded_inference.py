@@ -37,3 +37,16 @@ def test_sharded_output_layout(int8_graph, mesh):
     out = sharded(mesh_lib.shard_batch(x, mesh))
     # each device holds 1/8 of the batch
     assert out["count"].sharding.num_devices == 8
+
+
+def test_init_distributed_single_process(mesh):
+    """The multi-host entry point degrades to the local mesh in a single
+    process (docs/MULTICHIP.md): no coordinator -> no
+    jax.distributed.initialize, local devices, and
+    global_batch_from_host_local places a batch-sharded global array."""
+    m = mesh_lib.init_distributed()
+    assert m.devices.size == len(jax.devices())
+    frames = np.zeros((16, 112, 112), np.uint16)
+    arr = mesh_lib.global_batch_from_host_local(frames, m)
+    assert arr.shape == (16, 112, 112)
+    assert len(arr.sharding.device_set) == m.devices.size

@@ -99,17 +99,16 @@ class RequantSpec:
         operand values."""
         c = acc_i32.shape[ch_axis]
         shape = tuple(c if a == ch_axis else 1 for a in range(4))
+        # NOTE: an all-f32-lane variant (round/clip/+zp in float, one int8
+        # convert) is bit-identical but measured ~25% SLOWER end-to-end on
+        # v5e — Mosaic lowers the int32 formulation better; keep it.
         if self.exact:
             v = multiply_by_quantized_multiplier(
                 acc_i32, p1.reshape(shape), p2.reshape(shape))
-            return jnp.clip(v + self.zp_out, -128, 127).astype(jnp.int8)
-        # fast path entirely in f32 lanes: round() yields integral floats,
-        # +zp and the clip bounds are exact in f32, and the final int8
-        # conversion truncates an already-integral value -> bit-identical
-        # to the int32 formulation with two fewer conversions
-        v = jnp.round(acc_i32.astype(jnp.float32) * p1.reshape(shape))
-        return jnp.clip(v + float(self.zp_out), -128.0,
-                        127.0).astype(jnp.int8)
+        else:
+            v = jnp.round(acc_i32.astype(jnp.float32)
+                          * p1.reshape(shape)).astype(jnp.int32)
+        return jnp.clip(v + self.zp_out, -128, 127).astype(jnp.int8)
 
 
 class LeakySpec:
@@ -125,21 +124,19 @@ class LeakySpec:
         self.exact = exact
 
     def apply(self, t_i8):
+        v = t_i8.astype(jnp.int32) - self.zp_in
         if self.exact:
-            v = t_i8.astype(jnp.int32) - self.zp_in
             pos = multiply_by_quantized_multiplier(
                 v, jnp.int32(self.qm_id), jnp.int32(self.sh_id))
             neg = multiply_by_quantized_multiplier(
                 v, jnp.int32(self.qm_al), jnp.int32(self.sh_al))
             out = jnp.where(v >= 0, pos, neg)
-            return jnp.clip(out + self.zp_out, -128, 127).astype(jnp.int8)
-        # fast path in f32 lanes (int8/int32 inputs are exact in f32; one
-        # select on the multiplier instead of two full multiplies)
-        vf = t_i8.astype(jnp.float32) - float(self.zp_in)
-        mul = jnp.where(vf >= 0, np.float32(self.s_id),
-                        np.float32(self.s_al))
-        out = jnp.round(vf * mul) + float(self.zp_out)
-        return jnp.clip(out, -128.0, 127.0).astype(jnp.int8)
+        else:
+            vf = v.astype(jnp.float32)
+            out = jnp.round(jnp.where(
+                v >= 0, vf * np.float32(self.s_id),
+                vf * np.float32(self.s_al))).astype(jnp.int32)
+        return jnp.clip(out + self.zp_out, -128, 127).astype(jnp.int8)
 
 
 def _maybe_leaky(t, leaky: Optional[LeakySpec]):

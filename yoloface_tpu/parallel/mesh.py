@@ -53,3 +53,35 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) onto every mesh device."""
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+# --------------------------------------------------------------------------
+# multi-host (DCN) entry points — design in docs/MULTICHIP.md
+# --------------------------------------------------------------------------
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Mesh:
+    """Initialize multi-host JAX (one process per host over DCN) and return
+    the global 1-D data mesh spanning every chip of every host.
+
+    Single-process call (all args None) is a no-op initialize and returns
+    the local mesh — so the same entry point serves 1 host or N hosts.
+    Collectives inside a batch stay on ICI; only once the mesh spans hosts
+    does the gradient all-reduce ride DCN (see docs/MULTICHIP.md).
+    """
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return make_mesh()
+
+
+def global_batch_from_host_local(local_batch, mesh: Mesh):
+    """Assemble a process-local numpy batch into a global batch-sharded
+    array: each host contributes its own frames (its own camera streams),
+    concatenated logically along the batch axis — the multi-host analogue
+    of shard_batch."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        local_batch)
