@@ -174,6 +174,23 @@ def test_e2e_detections_match_oracle(int8_graph, tflite_oracle,
     assert n_with_faces >= 20, "expected faces detected on most images"
 
 
+def test_pallas_rgb565_path_matches_fast(int8_graph):
+    """The zero-relayout Pallas serving path (in-kernel preprocess feeding
+    the engine layout directly) produces detections IDENTICAL to the XLA
+    fast path — same bits end to end, for both arena layouts."""
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 1 << 16, (4, 112, 112),
+                          dtype=np.int64).astype(np.uint16)
+    want = FacePipeline(Int8Engine(int8_graph, mode="fast")
+                        ).detect_rgb565(frames)
+    for mode in ("pallas_arena", "pallas_mxu"):
+        got = FacePipeline(Int8Engine(int8_graph, mode=mode)
+                           ).detect_rgb565(frames)
+        np.testing.assert_array_equal(got["count"], want["count"], mode)
+        np.testing.assert_array_equal(got["boxes"], want["boxes"], mode)
+        np.testing.assert_array_equal(got["scores"], want["scores"], mode)
+
+
 def test_e2e_from_rgb565_frames(int8_graph):
     """Camera-emulation path: encode dataset images to 112x112 RGB565 frames
     and run the fused preprocess+infer+decode pipeline."""

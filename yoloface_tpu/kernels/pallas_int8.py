@@ -126,11 +126,15 @@ class LeakySpec:
     def apply(self, t_i8):
         v = t_i8.astype(jnp.int32) - self.zp_in
         if self.exact:
-            pos = multiply_by_quantized_multiplier(
-                v, jnp.int32(self.qm_id), jnp.int32(self.sh_id))
-            neg = multiply_by_quantized_multiplier(
-                v, jnp.int32(self.qm_al), jnp.int32(self.sh_al))
-            out = jnp.where(v >= 0, pos, neg)
+            # select (qm, shift) per element FIRST, then run ONE fixed-point
+            # chain — elementwise-identical to computing both branches and
+            # selecting after, at half the SRDHM cost
+            neg_sel = v < 0
+            qm = jnp.where(neg_sel, jnp.int32(self.qm_al),
+                           jnp.int32(self.qm_id))
+            sh = jnp.where(neg_sel, jnp.int32(self.sh_al),
+                           jnp.int32(self.sh_id))
+            out = multiply_by_quantized_multiplier(v, qm, sh)
         else:
             vf = v.astype(jnp.float32)
             out = jnp.round(jnp.where(
@@ -408,30 +412,36 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
 
 
 # --------------------------------------------------------------------------
-# fused RGB565 preprocess: [H,W,N] u16 frames -> [3,56,56,N] int8
+# fused RGB565 preprocess: [H,W,N] u16 frames -> int8 net input
 # --------------------------------------------------------------------------
 def preprocess_rgb565(frames_hwn, nt: Optional[int] = None):
-    """Bit-exact firmware preprocess (yoloface.c:26-93) as one VPU kernel:
-    field extract, 2x2 box average (>>2), 5/6/5 -> 8-bit expand, -128."""
+    """Bit-exact firmware preprocess (yoloface.c:26-93) as one kernel:
+    field extract, 2x2 box average (>>2), 5/6/5 -> 8-bit expand, -128.
+
+    [H,W,N] u16 frames -> [3,56,56,N] int8 (the CWHN engine layout; the
+    WHCN pipeline permutes the leading dims afterwards).  The 2x2 phases
+    are read as strided slices from an int32 VMEM scratch ref: strided
+    loads are 32-bit-only in Mosaic, and value-level strided slicing does
+    not lower at all — this staging is what lets the kernel compile on
+    real TPUs."""
     h, w, n = frames_hwn.shape
     assert (h, w) == (112, 112)
     nt = _pick_nt(n, nt)
 
-    def kernel(fr, o):
-        p = fr[:].astype(jnp.int32)
-        r5 = (p >> 11) & 0x1F
-        g6 = (p >> 5) & 0x3F
-        b5 = p & 0x1F
+    def kernel(fr, o, s):
+        s[:] = fr[:].astype(jnp.int32)
+        phases = [s[dy:dy + 111:2, dx:dx + 111:2, :]
+                  for dy in (0, 1) for dx in (0, 1)]
 
-        def avg(f):
-            return (f[0::2, 0::2, :] + f[0::2, 1::2, :]
-                    + f[1::2, 0::2, :] + f[1::2, 1::2, :]) >> 2
+        def field(shift, mask):
+            acc = (phases[0] >> shift) & mask
+            for p in phases[1:]:
+                acc = acc + ((p >> shift) & mask)
+            return acc >> 2
 
-        r = (avg(r5) << 3) - 128
-        g = (avg(g6) << 2) - 128
-        b = (avg(b5) << 3) - 128
-        out = jnp.stack([r, g, b], axis=0)
-        o[:] = jnp.clip(out, -128, 127).astype(jnp.int8)
+        o[0] = ((field(11, 0x1F) << 3) - 128).astype(jnp.int8)
+        o[1] = ((field(5, 0x3F) << 2) - 128).astype(jnp.int8)
+        o[2] = ((field(0, 0x1F) << 3) - 128).astype(jnp.int8)
 
     return pl.pallas_call(
         kernel,
@@ -441,6 +451,9 @@ def preprocess_rgb565(frames_hwn, nt: Optional[int] = None):
         out_specs=pl.BlockSpec((3, 56, 56, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 56, 56, n), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((h, w, nt), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret_mode(),
     )(frames_hwn)
 

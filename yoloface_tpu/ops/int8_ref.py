@@ -146,11 +146,13 @@ def leaky_relu_int8(
     gather, and fuses into the surrounding elementwise code.
     """
     v = x.astype(jnp.int32) - jnp.int32(input_zp)
-    pos = multiply_by_quantized_multiplier(
-        v, jnp.int32(qm_identity), jnp.int32(shift_identity))
-    neg = multiply_by_quantized_multiplier(
-        v, jnp.int32(qm_alpha), jnp.int32(shift_alpha))
-    out = jnp.where(v >= 0, pos, neg) + jnp.int32(output_zp)
+    # select (qm, shift) per element, then ONE fixed-point chain —
+    # elementwise-identical to evaluating both branches, at half the cost
+    neg_sel = v < 0
+    qm = jnp.where(neg_sel, jnp.int32(qm_alpha), jnp.int32(qm_identity))
+    sh = jnp.where(neg_sel, jnp.int32(shift_alpha),
+                   jnp.int32(shift_identity))
+    out = multiply_by_quantized_multiplier(v, qm, sh) + jnp.int32(output_zp)
     return _clamp_to_int8(out)
 
 

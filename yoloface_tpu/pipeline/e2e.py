@@ -34,17 +34,34 @@ class FacePipeline:
         self._jit_cache: Dict[tuple, callable] = {}
 
     # ------------------------------------------------------------- tracing
-    def _detect_from_int8(self, x_int8):
-        y = self.engine._forward(x_int8)
+    def _head(self, y_nhwc):
         boxes, conf, _cls = head_lib.decode(
-            y, scale=self._out_scale, zero_point=self._out_zp,
+            y_nhwc, scale=self._out_scale, zero_point=self._out_zp,
             cfg=self.head_config)
         boxes = head_lib.clamp_boxes(boxes)
         b, s, v = head_lib.select_detections(boxes, conf, self.head_config)
         return {"boxes": b, "scores": s, "valid": v,
                 "count": jnp.sum(v, axis=-1).astype(jnp.int32)}
 
+    def _detect_from_int8(self, x_int8):
+        return self._head(self.engine._forward(x_int8))
+
     def _detect_from_rgb565(self, frames_u16):
+        if self.engine.mode.startswith("pallas"):
+            # zero-relayout serving path: the Pallas preprocess kernel
+            # emits the engine's activation layout directly (XLA's strided
+            # 2x2 preprocess measured 34 ms @32k vs ~2 ms in-kernel)
+            from yoloface_tpu.kernels import pallas_int8 as pk
+            f = jnp.asarray(frames_u16)
+            n = f.shape[0]
+            if jax.default_backend() != "cpu" and n % 128 != 0:
+                pad = (-n) % 128
+                f = jnp.concatenate(
+                    [f, jnp.zeros((pad,) + f.shape[1:], f.dtype)], axis=0)
+            x = pk.preprocess_rgb565(jnp.transpose(f, (2, 1, 0)))
+            if self.engine._perm_in == (2, 1, 3, 0):     # WHCN
+                x = jnp.transpose(x, (1, 2, 0, 3))
+            return self._head(self.engine.forward_native(x)[:n])
         return self._detect_from_int8(
             preprocess.rgb565_to_int8_input(frames_u16))
 

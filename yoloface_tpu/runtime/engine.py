@@ -356,6 +356,18 @@ class Int8Engine:
         out = env[self.output_idx]
         return jnp.transpose(out, self._perm_out)[:n] if chwn else out
 
+    def forward_native(self, x_layout):
+        """Pallas modes: forward from an input already in the engine's
+        activation layout (CWHN [C,W,H,N] / WHCN [W,H,C,N], batch padded to
+        the lane tile by the caller) -> NHWC output.  The zero-relayout
+        serving entry: the Pallas preprocess kernel emits this layout
+        directly (see pipeline/e2e.py)."""
+        assert self.mode.startswith("pallas"), self.mode
+        env = {self.input_idx: x_layout}
+        for fn in self._plan:
+            env[fn.out_idx] = fn(env)
+        return jnp.transpose(env[self.output_idx], self._perm_out)
+
     def __call__(self, x):
         """Run the graph on int8 frames [N,56,56,3] -> int8 [N,7,7,18]."""
         self._check_input(x)
