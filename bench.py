@@ -1,21 +1,34 @@
 """Benchmark: fused preprocess + int8 inference + YOLO decode + NMS on TPU.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "engine_mode": <flagship>, "modes": {mode: fps, ...}, ...}
 
 Measured program = the full camera-frame pipeline (the analogue of the
-reference's per-frame superloop, main.c:42-54): RGB565 frames are generated
-on-device inside the same jit (no host transfer in the loop), run through
-preprocess + the 54-op int8 graph + YOLO decode + NMS, and reduced to a
-scalar detection count whose host fetch is the per-iteration sync point.
+reference's per-frame superloop, main.c:42-54): device-resident RGB565
+frame batches (pre-generated on device — no host transfer anywhere; in
+serving they arrive via the producer ring) run through preprocess + the
+54-op int8 graph + YOLO decode + NMS, reduced to a scalar detection count
+whose host fetch is the per-iteration sync point.  (Round-1 methodology
+generated frames with in-jit RNG each step; that Threefry pass alone cost
+~40 ms @32k and diluted the pipeline number — now hoisted out.)
 
-Methodology note: on this tunnel-attached TPU, ``jax.block_until_ready`` can
-return before remote execution finishes, so every iteration fetches a scalar
-result to force completion — the conservative (latency-inclusive) number.
-vs_baseline is the ratio to the 50,000 frames/sec/chip north-star target
-(BASELINE.json)."""
+The flagship serving mode is ``pallas_mxu`` — the WHCN activation-arena
+Pallas lowering (MXU 1x1 convs, in-kernel preprocess, threshold-first
+head).  ``fast`` (stock XLA ops) and ``pallas_arena`` (CWHN arena) are
+benchmarked alongside so BENCH_r*.json pins the framework-kernels-vs-XLA
+comparison in hardware; a mode that fails to compile FAILS the benchmark
+(no silent fallback).
+
+Methodology note: on this tunnel-attached TPU, ``jax.block_until_ready``
+can return before remote execution finishes, so every iteration fetches a
+scalar result to force completion — the conservative (latency-inclusive)
+number.  vs_baseline is the ratio to the 50,000 frames/sec/chip north-star
+target (BASELINE.json).
+"""
 
 import json
+import os
 import sys
 import time
 
@@ -23,11 +36,12 @@ import numpy as np
 
 BASELINE_FPS = 50_000.0
 TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
+FLAGSHIP = os.environ.get("BENCH_MODE", "pallas_mxu")
+EXTRA_MODES = os.environ.get("BENCH_EXTRA_MODES",
+                             "fast,pallas_arena").split(",")
 
 
 def main():
-    import os
-
     import jax
     import jax.numpy as jnp
     from yoloface_tpu.io.tflite_import import load_tflite
@@ -36,54 +50,52 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    # BENCH_MODE picks the engine; "fast" (XLA + float requant) is the
-    # current fastest end-to-end path — the per-op Pallas mode wins on conv
-    # microbenchmarks but loses on the depthwise/pool VPU glue (see
-    # CLAUDE.md perf notes); automatic fallback if a mode fails to compile.
-    mode = os.environ.get("BENCH_MODE", "fast")
-
     graph = load_tflite(TFLITE)
+
+    # two device-resident frame batches (alternate per iteration)
+    gen = jax.jit(lambda seed: jax.random.bits(
+        jax.random.key(seed), (batch, 112, 112), jnp.uint16))
+    frame_bufs = [gen(0), gen(1)]
+    jax.block_until_ready(frame_bufs)
 
     def build(mode):
         pipe = FacePipeline(Int8Engine(graph, mode=mode))
 
         @jax.jit
-        def step(seed):
-            frames = jax.random.bits(jax.random.key(seed),
-                                     (batch, 112, 112), jnp.uint16)
+        def step(frames):
             det = pipe._detect_from_rgb565(frames)
             return det["count"].sum()
 
         return step
 
-    step = build(mode)
-    try:
-        int(step(0))  # compile + first run
-    except Exception as e:
-        print(f"# {mode} mode failed ({type(e).__name__}); "
-              "falling back to fast", file=sys.stderr)
-        mode = "fast"
+    def measure(mode):
         step = build(mode)
-        int(step(0))
+        int(step(frame_bufs[0]))           # compile + first run
+        lats = []
+        t0 = time.perf_counter()
+        for i in range(iters):
+            t1 = time.perf_counter()
+            int(step(frame_bufs[i % 2]))   # scalar fetch forces completion
+            lats.append(time.perf_counter() - t1)
+        dt = time.perf_counter() - t0
+        return batch * iters / dt, float(np.median(lats) * 1e3)
 
-    lats = []
-    t0 = time.perf_counter()
-    for i in range(iters):
-        t1 = time.perf_counter()
-        int(step(i + 1))  # scalar fetch forces real completion
-        lats.append(time.perf_counter() - t1)
-    dt = time.perf_counter() - t0
-    fps = batch * iters / dt
-    p50_ms = float(np.median(lats) * 1e3)
+    modes_fps = {}
+    for mode in [m for m in EXTRA_MODES if m] + [FLAGSHIP]:
+        fps, p50 = measure(mode)
+        modes_fps[mode] = round(fps, 1)
+        if mode == FLAGSHIP:
+            flag_fps, flag_p50 = fps, p50
 
     print(json.dumps({
         "metric": "fused_pipeline_frames_per_sec_per_chip",
-        "value": round(fps, 1),
+        "value": round(flag_fps, 1),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(flag_fps / BASELINE_FPS, 3),
         "batch": batch,
-        "p50_batch_latency_ms": round(p50_ms, 3),
-        "engine_mode": mode,
+        "p50_batch_latency_ms": round(flag_p50, 3),
+        "engine_mode": FLAGSHIP,
+        "modes": modes_fps,
         "device": str(jax.devices()[0]),
     }))
 

@@ -174,6 +174,27 @@ def test_e2e_detections_match_oracle(int8_graph, tflite_oracle,
     assert n_with_faces >= 20, "expected faces detected on most images"
 
 
+def test_threshold_first_head_matches_full_decode():
+    """detect_int8_head (int8 top-k, decode-K-survivors) is bit-identical
+    to the full decode + select_detections path on random head tensors —
+    the monotonicity argument (sigmoid of q ordering == conf ordering,
+    same tie-break) holds end to end."""
+    from yoloface_tpu.pipeline import head as head_lib
+    rng = np.random.default_rng(11)
+    scale, zp = 0.14218327403068542, -15
+    cfg = head_lib.HeadConfig()
+    y = rng.integers(-128, 128, (64, 7, 7, 18), dtype=np.int64
+                     ).astype(np.int8)
+    boxes, conf, _ = head_lib.decode(y, scale=scale, zero_point=zp, cfg=cfg)
+    boxes = head_lib.clamp_boxes(boxes)
+    b0, s0, v0 = head_lib.select_detections(boxes, conf, cfg)
+    b1, s1, v1 = head_lib.detect_int8_head(y, scale=scale, zero_point=zp,
+                                           cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
+
+
 def test_pallas_rgb565_path_matches_fast(int8_graph):
     """The zero-relayout Pallas serving path (in-kernel preprocess feeding
     the engine layout directly) produces detections IDENTICAL to the XLA

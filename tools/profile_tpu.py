@@ -142,6 +142,53 @@ def main():
 
         timed("+decode", through_decode, frames)
         timed("full (+nms)", pipe._detect_from_rgb565, frames)
+    elif cmd == "head":
+        # decode / top_k / iou+greedy cost split at serving batch
+        import jax
+        import jax.numpy as jnp
+        from yoloface_tpu.pipeline import head as head_lib
+
+        cfg = head_lib.HeadConfig()
+        rng = np.random.default_rng(0)
+        y = jax.device_put(rng.integers(
+            -128, 128, (batch, 7, 7, 18)).astype(np.int8))
+
+        def timed(name, fn, *args):
+            jfn = jax.jit(fn)
+            out = jfn(*args)
+            leaf = jax.tree.leaves(out)[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = jfn(*args)
+            leaf = jax.tree.leaves(out)[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
+            ms = (time.perf_counter() - t0) / 10 * 1e3
+            print(f"{name:>24s}: {ms:8.2f} ms", flush=True)
+
+        def dec(y):
+            b, c, _ = head_lib.decode(y, scale=0.142, zero_point=-15,
+                                      cfg=cfg)
+            return head_lib.clamp_boxes(b), c
+
+        timed("decode", dec, y)
+
+        def topk_only(y):
+            boxes, conf = dec(y)
+            scores = jnp.where(conf >= cfg.conf_threshold, conf, 0.0)
+            s, idx = jax.lax.top_k(scores, cfg.max_detections)
+            return s, jnp.take_along_axis(boxes, idx[..., None], axis=1)
+
+        timed("decode+topk", topk_only, y)
+
+        def full(y):
+            boxes, conf = dec(y)
+            return head_lib.select_detections(boxes, conf, cfg)
+
+        timed("decode+topk+nms", full, y)
+        timed("threshold-first head",
+              lambda y: head_lib.detect_int8_head(
+                  y, scale=0.142, zero_point=-15, cfg=cfg), y)
     elif cmd == "trace":
         import jax
         mode = sys.argv[3] if len(sys.argv) > 3 else "fast"

@@ -51,7 +51,9 @@ def main(argv=None):
                    default="/root/reference/yoloface/tflite/yoloface_int8.tflite")
     p.add_argument("--mode", default="exact",
                    choices=["exact", "fast", "pallas", "pallas_exact",
-                            "pallas_fused", "pallas_fused_exact"])
+                            "pallas_fused", "pallas_fused_exact",
+                            "pallas_arena", "pallas_arena_exact",
+                            "pallas_mxu", "pallas_mxu_exact"])
     p.add_argument("--conf", type=float, default=0.7)
     p.add_argument("--iou", type=float, default=0.5)
     p.add_argument("--image", help="single image path")

@@ -35,11 +35,11 @@ class FacePipeline:
 
     # ------------------------------------------------------------- tracing
     def _head(self, y_nhwc):
-        boxes, conf, _cls = head_lib.decode(
+        # threshold-first head: int8 top-k, decode only the K survivors
+        # (bit-identical to decode+select_detections; see head.py)
+        b, s, v = head_lib.detect_int8_head(
             y_nhwc, scale=self._out_scale, zero_point=self._out_zp,
             cfg=self.head_config)
-        boxes = head_lib.clamp_boxes(boxes)
-        b, s, v = head_lib.select_detections(boxes, conf, self.head_config)
         return {"boxes": b, "scores": s, "valid": v,
                 "count": jnp.sum(v, axis=-1).astype(jnp.int32)}
 

@@ -59,10 +59,15 @@ class Int8Engine:
           * "pallas_exact" — same kernels, fixed-point requant
             (bit-identical to "exact");
           * "pallas_fused[_exact]" — the whole net as a few fused-stage
-            kernels (see kernels/pallas_fused.py; stage count tunable down
-            to a single mega-kernel).
-        All six modes are validated bit-exactly; "fast" is the current
-        fastest serving path (see CLAUDE.md perf notes).
+            kernels over value-env stages (kernels/pallas_fused.py);
+          * "pallas_arena[_exact]" — fused stages over a static VMEM
+            activation-arena of refs, CWHN layout (kernels/pallas_arena.py);
+          * "pallas_mxu[_exact]" — the arena in WHCN layout (C in
+            sublanes): 1x1 convs run as true MXU matmuls.  The FLAGSHIP
+            serving mode — measured 1.3x faster than "fast" at batch 32k
+            on v5e (BENCH_r02).
+        All modes are validated bit-exactly against their semantics twin
+        ("fast" or "exact").
         """
         if mode not in ("exact", "fast", "pallas", "pallas_exact",
                         "pallas_fused", "pallas_fused_exact",
