@@ -1,0 +1,79 @@
+"""TPU-compiled Pallas parity smoke: run EVERY engine mode on the real
+chip against the TFLite reference-kernel oracle and record the verdict.
+
+The pytest suite forces the CPU backend (Pallas runs interpreted there);
+this tool is the committed hardware evidence that the Mosaic-compiled
+kernels are bit-exact — run it each round and commit TPU_SMOKE.json.
+
+Usage: python tools/tpu_smoke.py [out.json]
+"""
+
+import json
+import sys
+
+import numpy as np
+
+TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
+IMG = "/root/reference/yoloface/small_dataset/img_1087.jpg"
+MODES = ["exact", "fast", "pallas", "pallas_exact",
+         "pallas_fused", "pallas_fused_exact",
+         "pallas_arena", "pallas_arena_exact",
+         "pallas_mxu", "pallas_mxu_exact"]
+
+
+def main():
+    import cv2
+    import jax
+    import tensorflow as tf
+    from yoloface_tpu.io.tflite_import import load_tflite
+    from yoloface_tpu.runtime.engine import Int8Engine
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_SMOKE.json"
+    device = str(jax.devices()[0])
+    assert "TPU" in device, f"not on TPU: {device}"
+
+    img = cv2.cvtColor(cv2.imread(IMG), cv2.COLOR_BGR2RGB)
+    x = (cv2.resize(img, (56, 56)).astype(np.float32) - 128).astype(
+        np.int8)[None]
+    x = np.repeat(x, 4, axis=0)          # small batch (pads to lanes)
+
+    it = tf.lite.Interpreter(
+        model_path=TFLITE,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType.BUILTIN_REF))
+    it.allocate_tensors()
+    it.set_tensor(it.get_input_details()[0]["index"], x[:1])
+    it.invoke()
+    oracle = it.get_tensor(it.get_output_details()[0]["index"])
+
+    graph = load_tflite(TFLITE)
+    results = {}
+    for mode in MODES:
+        try:
+            y = np.asarray(Int8Engine(graph, mode=mode)(x))
+            exact_modes_match = bool(np.array_equal(y[:1], oracle))
+            self_consistent = bool((y == y[0:1]).all())
+            results[mode] = {
+                "compiled": True,
+                "bit_exact_vs_oracle": exact_modes_match,
+                "batch_consistent": self_consistent,
+            }
+        except Exception as e:  # noqa: BLE001 - record, don't hide
+            results[mode] = {"compiled": False,
+                             "error": str(e).splitlines()[0][:200]}
+        print(mode, results[mode], flush=True)
+
+    # fast-bits modes legitimately differ from the reference kernels by
+    # float-rounding drift; exact-bits modes must match the oracle
+    ok = all(r.get("compiled") for r in results.values()) and all(
+        results[m]["bit_exact_vs_oracle"]
+        for m in results if m.endswith("exact"))
+    payload = {"device": device, "image": IMG, "ok": ok, "modes": results}
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(("OK" if ok else "FAILED"), "->", out_path)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
