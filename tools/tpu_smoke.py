@@ -47,16 +47,19 @@ def main():
     oracle = it.get_tensor(it.get_output_details()[0]["index"])
 
     graph = load_tflite(TFLITE)
+    twin = {}                             # semantics twin outputs on HW
     results = {}
     for mode in MODES:
         try:
             y = np.asarray(Int8Engine(graph, mode=mode)(x))
-            exact_modes_match = bool(np.array_equal(y[:1], oracle))
-            self_consistent = bool((y == y[0:1]).all())
+            if mode in ("exact", "fast"):
+                twin[mode] = y
+            tw = twin["exact" if mode.endswith("exact") else "fast"]
             results[mode] = {
                 "compiled": True,
-                "bit_exact_vs_oracle": exact_modes_match,
-                "batch_consistent": self_consistent,
+                "bit_exact_vs_oracle": bool(np.array_equal(y[:1], oracle)),
+                "bit_exact_vs_twin": bool(np.array_equal(y, tw)),
+                "batch_consistent": bool((y == y[0:1]).all()),
             }
         except Exception as e:  # noqa: BLE001 - record, don't hide
             results[mode] = {"compiled": False,
@@ -64,10 +67,12 @@ def main():
         print(mode, results[mode], flush=True)
 
     # fast-bits modes legitimately differ from the reference kernels by
-    # float-rounding drift; exact-bits modes must match the oracle
-    ok = all(r.get("compiled") for r in results.values()) and all(
-        results[m]["bit_exact_vs_oracle"]
-        for m in results if m.endswith("exact"))
+    # float-rounding drift; exact-bits modes must match the oracle, and
+    # EVERY mode must match its semantics twin ("fast"/"exact") in hardware
+    ok = (all(r.get("compiled") for r in results.values())
+          and all(results[m]["bit_exact_vs_oracle"]
+                  for m in results if m.endswith("exact"))
+          and all(results[m]["bit_exact_vs_twin"] for m in results))
     payload = {"device": device, "image": IMG, "ok": ok, "modes": results}
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
