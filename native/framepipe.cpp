@@ -141,6 +141,103 @@ void fp_ring_close(void* ring) {
 
 void fp_ring_destroy(void* ring) { delete (FpRing*)ring; }
 
+// ------------------------------------------------------ multi-stream scheduler
+// N camera streams -> fixed-size TPU batches.  Producer threads push frames
+// per stream; the scheduler assembles batches of `batch` frames in arrival
+// order (one bounded FIFO across streams — fair under contention because
+// pushers block on the same queue), tagging every slot with (stream_id,
+// per-stream sequence number) so detections demultiplex back to their
+// cameras.  The many-sensors-one-accelerator generalization of the
+// reference's single-camera DCMI double buffer.
+
+struct FpSched {
+    size_t frame_bytes;
+    int n_streams;
+    int batch;
+    int capacity;                    // queued frames bound
+    std::vector<uint8_t> storage;    // capacity * frame_bytes
+    std::vector<int32_t> stream_of;  // per slot
+    std::vector<int64_t> seq_of;     // per slot
+    std::vector<int64_t> next_seq;   // per stream
+    int head = 0, count = 0;
+    bool closed = false;
+    std::mutex mu;
+    std::condition_variable not_full, not_empty;
+};
+
+void* fp_sched_create(int n_streams, size_t frame_bytes, int batch,
+                      int capacity) {
+    if (n_streams <= 0 || batch <= 0 || capacity < batch) return nullptr;
+    auto* s = new FpSched();
+    s->n_streams = n_streams;
+    s->frame_bytes = frame_bytes;
+    s->batch = batch;
+    s->capacity = capacity;
+    s->storage.resize((size_t)capacity * frame_bytes);
+    s->stream_of.resize(capacity);
+    s->seq_of.resize(capacity);
+    s->next_seq.assign(n_streams, 0);
+    return s;
+}
+
+// 0 on success, -1 if closed, -2 bad stream id
+int fp_sched_push(void* sched, int stream_id, const uint8_t* frame) {
+    auto* s = (FpSched*)sched;
+    if (stream_id < 0 || stream_id >= s->n_streams) return -2;
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->not_full.wait(lk, [&] { return s->count < s->capacity || s->closed; });
+    if (s->closed) return -1;
+    int slot = (s->head + s->count) % s->capacity;
+    std::memcpy(s->storage.data() + (size_t)slot * s->frame_bytes, frame,
+                s->frame_bytes);
+    s->stream_of[slot] = stream_id;
+    s->seq_of[slot] = s->next_seq[stream_id]++;
+    s->count++;
+    if (s->count >= s->batch) s->not_empty.notify_one();
+    return 0;
+}
+
+// Blocks until `batch` frames are queued (or the scheduler is closed, in
+// which case a final partial batch drains).  Returns the number of frames
+// written to out_frames/out_streams/out_seqs; 0 = closed and empty.
+int fp_sched_next_batch(void* sched, uint8_t* out_frames,
+                        int32_t* out_streams, int64_t* out_seqs) {
+    auto* s = (FpSched*)sched;
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->not_empty.wait(lk, [&] { return s->count >= s->batch || s->closed; });
+    int take = s->count < s->batch ? s->count : s->batch;
+    for (int i = 0; i < take; ++i) {
+        int slot = (s->head + i) % s->capacity;
+        std::memcpy(out_frames + (size_t)i * s->frame_bytes,
+                    s->storage.data() + (size_t)slot * s->frame_bytes,
+                    s->frame_bytes);
+        out_streams[i] = s->stream_of[slot];
+        out_seqs[i] = s->seq_of[slot];
+    }
+    s->head = (s->head + take) % s->capacity;
+    s->count -= take;
+    s->not_full.notify_all();
+    return take;
+}
+
+int fp_sched_pending(void* sched) {
+    auto* s = (FpSched*)sched;
+    std::lock_guard<std::mutex> lk(s->mu);
+    return s->count;
+}
+
+void fp_sched_close(void* sched) {
+    auto* s = (FpSched*)sched;
+    {
+        std::lock_guard<std::mutex> lk(s->mu);
+        s->closed = true;
+    }
+    s->not_full.notify_all();
+    s->not_empty.notify_all();
+}
+
+void fp_sched_destroy(void* sched) { delete (FpSched*)sched; }
+
 // ---------------------------------------------------------------- protocol
 // boxes: k*4 floats (xyxy, 56-space), scores: k, valid: k (0/1).
 // Writes the firmware text protocol into out (cap bytes); returns length.

@@ -40,7 +40,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # make is incremental: rebuilds only when framepipe.cpp is newer
+        # than the .so (a stale library would miss newer entry points)
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -71,6 +73,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int]
+        lib.fp_sched_create.restype = ctypes.c_void_p
+        lib.fp_sched_create.argtypes = [ctypes.c_int, ctypes.c_size_t,
+                                        ctypes.c_int, ctypes.c_int]
+        lib.fp_sched_push.restype = ctypes.c_int
+        lib.fp_sched_push.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_uint8)]
+        lib.fp_sched_next_batch.restype = ctypes.c_int
+        lib.fp_sched_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+        lib.fp_sched_pending.restype = ctypes.c_int
+        lib.fp_sched_pending.argtypes = [ctypes.c_void_p]
+        lib.fp_sched_close.argtypes = [ctypes.c_void_p]
+        lib.fp_sched_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -166,5 +182,69 @@ class NativeRing:
     def __del__(self):
         try:
             self._lib.fp_ring_destroy(self._ptr)
+        except Exception:
+            pass
+
+
+class NativeScheduler:
+    """Multi-stream frame scheduler backed by the C++ implementation
+    (native/framepipe.cpp fp_sched_*): N camera streams push frames from
+    producer threads; ``next_batch`` blocks until a full TPU batch is
+    assembled (FIFO across streams) and returns the frames plus the
+    (stream_id, seq) tags that demultiplex detections back per camera."""
+
+    def __init__(self, n_streams: int, frame_shape, frame_dtype,
+                 batch: int, capacity: Optional[int] = None):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.n_streams = n_streams
+        self.batch = batch
+        self.frame_shape = tuple(frame_shape)
+        self.frame_dtype = np.dtype(frame_dtype)
+        self._frame_bytes = int(np.prod(self.frame_shape)
+                                * self.frame_dtype.itemsize)
+        cap = capacity if capacity is not None else 4 * batch
+        self._ptr = lib.fp_sched_create(n_streams, self._frame_bytes,
+                                        batch, cap)
+        if not self._ptr:
+            raise ValueError("bad scheduler parameters")
+
+    def push(self, stream_id: int, frame: np.ndarray) -> bool:
+        frame = np.ascontiguousarray(frame, self.frame_dtype)
+        assert frame.nbytes == self._frame_bytes, frame.shape
+        rc = self._lib.fp_sched_push(
+            self._ptr, stream_id,
+            frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc == -2:
+            raise ValueError(f"bad stream id {stream_id}")
+        return rc == 0
+
+    def next_batch(self):
+        """(frames [take,*frame_shape], stream_ids [take], seqs [take]) or
+        None when closed and drained."""
+        frames = np.empty((self.batch,) + self.frame_shape,
+                          self.frame_dtype)
+        sids = np.empty(self.batch, np.int32)
+        seqs = np.empty(self.batch, np.int64)
+        take = self._lib.fp_sched_next_batch(
+            self._ptr,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if take == 0:
+            return None
+        return frames[:take], sids[:take], seqs[:take]
+
+    def pending(self) -> int:
+        return self._lib.fp_sched_pending(self._ptr)
+
+    def close(self):
+        self._lib.fp_sched_close(self._ptr)
+
+    def __del__(self):
+        try:
+            self._lib.fp_sched_destroy(self._ptr)
         except Exception:
             pass

@@ -181,3 +181,152 @@ class CameraStreamer:
 
     def stop(self):
         self._stop.set()
+
+
+class PyScheduler:
+    """Pure-Python fallback with NativeScheduler's exact semantics (used
+    when the C++ library is unavailable; parity enforced by test_native)."""
+
+    def __init__(self, n_streams: int, frame_shape, frame_dtype,
+                 batch: int, capacity: Optional[int] = None):
+        self.n_streams = n_streams
+        self.batch = batch
+        self.frame_shape = tuple(frame_shape)
+        self.frame_dtype = np.dtype(frame_dtype)
+        self._cap = capacity if capacity is not None else 4 * batch
+        self._q: list = []
+        self._seq = [0] * n_streams
+        self._closed = False
+        self._mu = threading.Condition()
+
+    def push(self, stream_id: int, frame: np.ndarray) -> bool:
+        if not 0 <= stream_id < self.n_streams:
+            raise ValueError(f"bad stream id {stream_id}")
+        with self._mu:
+            while len(self._q) >= self._cap and not self._closed:
+                self._mu.wait(0.1)
+            if self._closed:
+                return False
+            self._q.append((stream_id, self._seq[stream_id],
+                            np.array(frame, self.frame_dtype, copy=True)))
+            self._seq[stream_id] += 1
+            self._mu.notify_all()
+            return True
+
+    def next_batch(self):
+        with self._mu:
+            while len(self._q) < self.batch and not self._closed:
+                self._mu.wait(0.1)
+            take = min(len(self._q), self.batch)
+            if take == 0:
+                return None
+            items, self._q = self._q[:take], self._q[take:]
+            self._mu.notify_all()
+        frames = np.stack([f for _, _, f in items])
+        return (frames, np.array([s for s, _, _ in items], np.int32),
+                np.array([q for _, q, _ in items], np.int64))
+
+    def pending(self) -> int:
+        with self._mu:
+            return len(self._q)
+
+    def close(self):
+        with self._mu:
+            self._closed = True
+            self._mu.notify_all()
+
+
+def make_scheduler(n_streams: int, frame_shape, frame_dtype, batch: int,
+                   capacity: Optional[int] = None,
+                   use_native: Optional[bool] = None):
+    """NativeScheduler when the C++ library is available, else PyScheduler."""
+    from yoloface_tpu.host import native
+    if use_native is None:
+        use_native = native.available()
+    if use_native:
+        return native.NativeScheduler(n_streams, frame_shape, frame_dtype,
+                                      batch, capacity)
+    return PyScheduler(n_streams, frame_shape, frame_dtype, batch, capacity)
+
+
+class MultiCameraStreamer:
+    """Many camera streams -> one TPU batch stream -> per-camera results.
+
+    The serving generalization of :class:`CameraStreamer`: per-stream
+    producer threads feed the (C++) multi-stream scheduler, which
+    assembles fixed-size batches in arrival order with (stream, seq) tags;
+    the consumer loop runs the fused pipeline once per batch and
+    demultiplexes detections back to their cameras — many OV2640s, one
+    accelerator, where the reference had one of each.
+
+    ``sources``: one iterator of single [112,112] uint16 frames per camera.
+    """
+
+    def __init__(self, pipeline, sources, batch: int,
+                 use_native: Optional[bool] = None):
+        self.pipeline = pipeline
+        self.sources = list(sources)
+        self.batch = batch
+        self.sched = make_scheduler(len(self.sources), (112, 112),
+                                    np.uint16, batch,
+                                    use_native=use_native)
+        self._threads: list = []
+        self._stop = threading.Event()
+
+    def _produce(self, sid: int, source):
+        for frame in source:
+            if self._stop.is_set():
+                return
+            if not self.sched.push(sid, frame):
+                return
+
+    def run(self, n_batches: int,
+            on_frame: Optional[Callable[[int, int, str], None]] = None):
+        """Consume n_batches; ``on_frame(stream_id, seq, text)`` receives
+        the protocol line per frame.  Returns per-stream stats."""
+        import jax
+
+        for sid, src in enumerate(self.sources):
+            t = threading.Thread(target=self._produce, args=(sid, src),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+        frames_per_stream = [0] * len(self.sources)
+        faces_per_stream = [0] * len(self.sources)
+        t0 = time.perf_counter()
+        done = 0
+        pending = None      # (device detections, stream ids, seqs)
+
+        def drain(det_dev, sids, seqs):
+            det = jax.tree.map(np.asarray, det_dev)
+            for i, (sid, seq) in enumerate(zip(sids, seqs)):
+                frames_per_stream[sid] += 1
+                faces_per_stream[sid] += int(det["count"][i])
+                if on_frame is not None:
+                    on_frame(int(sid), int(seq), protocol.encode_frame(
+                        int(seq) + 1, det["boxes"][i], det["scores"][i],
+                        det["valid"][i]))
+
+        for _ in range(n_batches):
+            nb = self.sched.next_batch()
+            if nb is None:
+                break
+            frames, sids, seqs = nb
+            det_dev = self.pipeline.detect_rgb565_device(frames)
+            if pending is not None:
+                drain(*pending)
+            pending = (det_dev, sids, seqs)
+            done += 1
+        if pending is not None:
+            drain(*pending)
+        self._stop.set()
+        self.sched.close()
+        dt = time.perf_counter() - t0
+        total = sum(frames_per_stream)
+        return {"batches": done, "frames": total,
+                "frames_per_stream": frames_per_stream,
+                "faces_per_stream": faces_per_stream,
+                "seconds": dt,
+                "fps": total / dt if dt > 0 else float("inf"),
+                "native": type(self.sched).__name__ == "NativeScheduler"}
