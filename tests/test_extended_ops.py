@@ -185,3 +185,34 @@ def test_fully_connected_per_channel():
     x = rng.integers(-128, 128, (1, k), dtype=np.int64).astype(np.int8)
     got, want = run_both(g, x)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["pallas_arena", "pallas_mxu"])
+def test_extended_ops_in_arena_modes(mode):
+    """The arena lowerings (flagship serving modes) also run the extended
+    op set bit-identically to the XLA engine — avgpool (SAME + VALID,
+    strided), logistic, relu, relu6."""
+    rng = np.random.default_rng(4)
+    cases = [
+        ("AVERAGE_POOL_2D",
+         dict(filter_h=3, filter_w=3, stride_h=2, stride_w=2,
+              padding="SAME", activation="NONE"),
+         (1, 12, 12, 8), (1, 6, 6, 8)),
+        ("AVERAGE_POOL_2D",
+         dict(filter_h=2, filter_w=2, stride_h=2, stride_w=2,
+              padding="VALID", activation="NONE"),
+         (1, 12, 12, 8), (1, 6, 6, 8)),
+        ("LOGISTIC", {}, (1, 8, 8, 4), (1, 8, 8, 4)),
+        ("RELU", {}, (1, 8, 8, 4), (1, 8, 8, 4)),
+        ("RELU6", {}, (1, 8, 8, 4), (1, 8, 8, 4)),
+    ]
+    for opname, attrs, ins, outs in cases:
+        in_q = QParams((0.05,), (3,))
+        out_q = (QParams((1.0 / 256,), (-128,)) if opname == "LOGISTIC"
+                 else in_q)
+        g = one_op_graph(opname, attrs, ins, outs, in_q, out_q)
+        x = rng.integers(-128, 128, ins, dtype=np.int64).astype(np.int8)
+        want = np.asarray(Int8Engine(g, mode="exact")(x))
+        got = np.asarray(Int8Engine(g, mode=mode)(x))
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"{opname} {mode}")

@@ -488,6 +488,79 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
             arena_ops.append(ArenaOp(
                 out_idx, [(x_idx, pads, fill, stride > 1)], [], emit))
 
+        elif name == "AVERAGE_POOL_2D":
+            x_idx, pads, _ = _input_req(graph, op)
+            fh, fw = op.attrs["filter_h"], op.attrs["filter_w"]
+            stride = op.attrs["stride_h"]
+            in_h, in_w = t(x_idx).shape[1], t(x_idx).shape[2]
+            # TFLite clipped-window semantics: zero-fill pads for the sum,
+            # divide by the VALID tap count per position (host-precomputed)
+            ones = np.zeros((in_w, in_h), np.int32)
+            ones[:] = 1
+            (pw0, pw1), (ph0, ph1) = pads
+            onesp = np.pad(ones, ((pw0, pw1), (ph0, ph1)))
+            counts = np.zeros((ow, oh), np.int32)
+            for dy in range(fw):
+                for dx in range(fh):
+                    counts += onesp[dy:dy + (ow - 1) * stride + 1:stride,
+                                    dx:dx + (oh - 1) * stride + 1:stride]
+
+            def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, fw=fw,
+                     fh=fh, stride=stride, pads=pads, ow=ow, oh=oh):
+                (cnt_v,) = opvals
+                xr, c0, wb, hb = ctx.read_base(x_idx, pads, 0)
+                c = ctx.shapes[x_idx][0]
+                nt = xr.shape[-1]
+                acc = jnp.zeros(_shape4(L, c, ow, oh) + (nt,), jnp.int32)
+                for dy in range(fw):
+                    for dx in range(fh):
+                        wsl = slice(wb + dy,
+                                    wb + dy + (ow - 1) * stride + 1, stride)
+                        hsl = slice(hb + dx,
+                                    hb + dx + (oh - 1) * stride + 1, stride)
+                        acc = acc + xr[_ix(L, slice(c0, c0 + c), wsl, hsl)
+                                       ].astype(jnp.int32)
+                shape = ((1, ow, oh, 1) if L == "cwhn" else (ow, oh, 1, 1))
+                cnt = cnt_v.reshape(shape)
+                half = cnt // 2
+                mean = jnp.where(acc >= 0, (acc + half) // cnt,
+                                 -((-acc + half) // cnt))
+                ctx.write(out_idx, 0, ow, jnp.clip(mean, -128, 127))
+
+            arena_ops.append(ArenaOp(
+                out_idx, [(x_idx, pads, 0, stride > 1)], [counts], emit))
+
+        elif name in ("RELU", "RELU6", "LOGISTIC"):
+            (x_idx,) = op.inputs
+            q = t(x_idx).qparams
+
+            if name == "RELU":
+                def fn_val(v, zp=q.zero_point):
+                    return jnp.maximum(v.astype(jnp.int32), zp)
+            elif name == "RELU6":
+                lo = int(q.zero_point)
+                hi = int(round(6.0 / float(q.scale)) + q.zero_point)
+
+                def fn_val(v, lo=max(lo, -128), hi=min(hi, 127)):
+                    return jnp.clip(v.astype(jnp.int32), lo, hi)
+            else:           # LOGISTIC: fixed out quant 1/256, zp -128
+                def fn_val(v, s=float(q.scale), zp=q.zero_point):
+                    x = (v.astype(jnp.float32) - zp) * s
+                    y = 1.0 / (1.0 + jnp.exp(-x))
+                    return jnp.clip(jnp.round(y * 256.0) - 128.0,
+                                    -128, 127).astype(jnp.int32)
+
+            def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
+                     fn_val=fn_val, ow=ow, oh=oh):
+                xr, c0, wb, hb = ctx.read_base(x_idx)
+                c = ctx.shapes[x_idx][0]
+                v = xr[_ix(L, slice(c0, c0 + c), slice(wb, wb + ow),
+                           slice(hb, hb + oh))]
+                ctx.write(out_idx, 0, ow, fn_val(v))
+
+            arena_ops.append(ArenaOp(out_idx, [(x_idx, NOPAD, 0, False)],
+                                     [], emit))
+
         elif name == "ADD":
             a_idx, b_idx = op.inputs
             q1, q2 = t(a_idx).qparams, t(b_idx).qparams
