@@ -110,3 +110,34 @@ def test_jit_and_vmap_compatible():
     np.testing.assert_array_equal(
         np.asarray(out),
         [mbqm_ref(x, 1 << 30, 0) for x in range(-5, 5)])
+
+
+def test_mbqm_bounded_matches_limb_path():
+    """The f32-assisted bounded MBQM is bit-identical to the limb path (and
+    the int64 reference) over its whole contract: |x| <= BOUNDED_MAX_ABS,
+    any in-range (qm, shift)."""
+    from yoloface_tpu.core.fixedpoint import (
+        BOUNDED_MAX_ABS, multiply_by_quantized_multiplier_bounded)
+
+    rng = np.random.default_rng(7)
+    B = BOUNDED_MAX_ABS
+    xs = np.concatenate([
+        rng.integers(-B, B + 1, 20000, dtype=np.int64),
+        np.array([0, 1, -1, B, -B, B - 1, -(B - 1)], dtype=np.int64),
+    ]).astype(np.int32)
+    reals = np.exp(rng.uniform(np.log(1e-6), np.log(4.0), xs.size))
+    qms, shifts = [], []
+    for m in reals:
+        q, s = quantize_multiplier(float(m))
+        qms.append(q)
+        shifts.append(s)
+    qms = np.asarray(qms, np.int32)
+    shifts = np.asarray(shifts, np.int32)
+    got = np.asarray(multiply_by_quantized_multiplier_bounded(
+        jnp.asarray(xs), jnp.asarray(qms), jnp.asarray(shifts)))
+    want = np.asarray(multiply_by_quantized_multiplier(
+        jnp.asarray(xs), jnp.asarray(qms), jnp.asarray(shifts)))
+    np.testing.assert_array_equal(got, want)
+    ref = np.array([mbqm_ref(int(x), int(q), int(s))
+                    for x, q, s in zip(xs, qms, shifts)], dtype=np.int32)
+    np.testing.assert_array_equal(got, ref)

@@ -35,6 +35,8 @@ __all__ = [
     "saturating_rounding_doubling_high_mul",
     "rounding_divide_by_pot",
     "multiply_by_quantized_multiplier",
+    "multiply_by_quantized_multiplier_bounded",
+    "BOUNDED_MAX_ABS",
 ]
 
 
@@ -122,6 +124,61 @@ def rounding_divide_by_pot(x, exponent):
     remainder = jnp.bitwise_and(x, mask)
     threshold = (mask >> 1) + (x < 0).astype(jnp.int32)
     return (x >> exponent) + (remainder > threshold).astype(jnp.int32)
+
+
+# Largest |x| for which the f32-assisted bounded path below is exact.
+# Error budget: p = |x| * qm < 2**19 * 2**31 = 2**50; the f32 product chain
+# carries <= ~3 ulp(p) <= 3 * 2**26 ~ 2**28 absolute error, and exact
+# high-word recovery needs |error| < 2**30 (0.25 * 2**32).  2**19 leaves a
+# 4x safety margin.
+BOUNDED_MAX_ABS = 1 << 19
+
+
+def multiply_by_quantized_multiplier_bounded(x, qm, shift):
+    """Bit-exact ``MultiplyByQuantizedMultiplier`` fast path for bounded x.
+
+    Requires |x| <= ``BOUNDED_MAX_ABS`` (caller-guaranteed, e.g. from the
+    static per-channel conv accumulator bound sum(|w|)*128 + |bias|).  Uses
+    2 multiplies instead of the 4 wide-limb multiplies of the general path:
+    the low 32 product bits come from one lane-wise u32 multiply, and the
+    high word is recovered exactly from an f32 product (error ~2**28 is
+    far below the 2**30 rounding threshold for p < 2**50).
+
+    Semantics are identical to :func:`multiply_by_quantized_multiplier`
+    (gemmlowp double rounding: SRDHM then RoundingDivideByPOT), verified
+    bit-exact by property test against the limb implementation.
+    """
+    x = jnp.asarray(x, jnp.int32)
+    qm = jnp.asarray(qm, jnp.int32)
+    shift = jnp.asarray(shift, jnp.int32)
+    left = jnp.maximum(shift, 0)
+    right = jnp.maximum(-shift, 0)
+    e = jnp.uint32(31) - left.astype(jnp.uint32)      # 1..31 (shift <= 30)
+
+    neg = x < 0
+    ua_i = jnp.where(neg, -x, x)                      # |x| < 2**19, int32
+    ua = ua_i.astype(jnp.uint32)
+    ub = qm.astype(jnp.uint32)                        # qm in [2**30, 2**31)
+
+    lo = ua * ub                                      # p mod 2**32 (exact)
+    # high word p >> 32, exactly: the f32 product approximates p to within
+    # ~2**27; subtracting only lo's top-2-bit contribution (int32-safe cast,
+    # unlike a full uint32->f32 cast which Mosaic can't lower) leaves a
+    # fractional residue in [0, 0.25) + ~2**-5 error -> round() is exact.
+    approx = ua_i.astype(jnp.float32) * qm.astype(jnp.float32)
+    lo_top2 = (lo >> 30).astype(jnp.int32).astype(jnp.float32)
+    hi = jnp.round(approx * jnp.float32(2.0 ** -32)
+                   - lo_top2 * jnp.float32(0.25)).astype(jnp.int32) \
+           .astype(jnp.uint32)                        # p >> 32 (exact)
+
+    # SRDHM with the left shift folded into the rounding exponent e:
+    #   pos: (p + 2**(e-1))     >> e
+    #   neg: (p + 2**(e-1) - 1) >> e, then negate
+    nudge = (jnp.uint32(1) << (e - jnp.uint32(1))) - neg.astype(jnp.uint32)
+    lo2 = lo + nudge
+    hi2 = hi + (lo2 < lo).astype(jnp.uint32)
+    mag = ((hi2 << (jnp.uint32(32) - e)) | (lo2 >> e)).astype(jnp.int32)
+    return rounding_divide_by_pot(jnp.where(neg, -mag, mag), right)
 
 
 def multiply_by_quantized_multiplier(x, qm, shift):

@@ -54,13 +54,19 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from yoloface_tpu.core.fixedpoint import (multiply_by_quantized_multiplier,
-                                          quantize_multiplier)
+from yoloface_tpu.core.fixedpoint import (
+    multiply_by_quantized_multiplier,
+    multiply_by_quantized_multiplier_bounded, quantize_multiplier)
 from yoloface_tpu.graph.ir import GraphDef
-from yoloface_tpu.kernels.pallas_int8 import _interpret_mode
+from yoloface_tpu.kernels.pallas_int8 import (_interpret_mode,
+                                              acc_bound as _acc_bound,
+                                              apply_requant_leaky)
 from yoloface_tpu.ops.int8_ref import _same_pad_amounts
 
-NT = 128
+# batch-lane tile: lanes are 128 wide; multiples of 128 amortize the
+# per-dot MXU issue overhead of the small per-(w,h) 1x1 dots at the cost
+# of proportionally larger VMEM arenas (env-tunable)
+NT = int(os.environ.get("YOLOFACE_TPU_ARENA_NT", 128))
 # per-stage VMEM budget for the activation arena (bytes, sublane-padded
 # estimate); ARENA_BUDGET=999999999 -> whole net in one kernel
 ARENA_BUDGET = int(os.environ.get("YOLOFACE_TPU_ARENA_BUDGET",
@@ -298,6 +304,8 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
+                requant.bound = _acc_bound(
+                    np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 if L == "cwhn":
                     w_arr = np.ascontiguousarray(wd.reshape(co, ci).T)
 
@@ -314,10 +322,8 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                             preferred_element_type=jnp.int32)
                         acc = acc + b_v.reshape(co, 1, 1, 1)
                         for s0, s1 in _strips(ow, co, oh, exact):
-                            r = requant.apply_in_kernel(
-                                acc[:, s0:s1], p1, p2)
-                            if leaky is not None:
-                                r = leaky.apply(r)
+                            r = apply_requant_leaky(
+                                requant, leaky, acc[:, s0:s1], p1, p2)
                             ctx.write(out_idx, s0, s1, r)
                 else:
                     # whcn: per-(w,h) 2D MXU dots [Co,Ci] @ [Ci,NT]
@@ -343,21 +349,77 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                                 rows.append(jnp.stack(cols, 0))
                             acc = jnp.stack(rows, 0)     # [ws, oh, Co, NT]
                             acc = acc + b_v.reshape(1, 1, co, 1)
-                            r = requant.apply_in_kernel(acc, p1, p2,
-                                                        ch_axis=2)
-                            if leaky is not None:
-                                r = leaky.apply(r)
+                            r = apply_requant_leaky(requant, leaky, acc,
+                                                    p1, p2, ch_axis=2)
                             ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
                     out_idx, [(x_idx, NOPAD, 0, False)],
                     [w_arr, bias_eff, requant.p1, requant.p2], emit))
 
+            elif name == "CONV_2D" and L == "whcn":
+                # im2col -> MXU: 9 strided phase reads concatenated on the
+                # sublane (C) axis form X[w,h, kh*kh*ci, NT]; each output
+                # position is one int8 MXU dot [Co, K] @ [K, NT].  Measured
+                # 1.4x the VPU tap loop at the stem shape (3x3 ci=3 s2) and
+                # bit-exact vs the reference conv on hardware.
+                co, kh, ci = wd.shape[0], wd.shape[1], wd.shape[3]
+                bias_eff = (b.data.astype(np.int64)
+                            - zp_in * wd.astype(np.int64).sum((1, 2, 3))
+                            ).astype(np.int32).reshape(co, 1)
+                requant.bound = _acc_bound(
+                    np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
+                # columns ordered (dy-major W offset, dx H offset, ci)
+                w2 = np.ascontiguousarray(
+                    wd.transpose(0, 2, 1, 3).reshape(co, kh * kh * ci)
+                ).astype(np.int8)
+
+                def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
+                         requant=requant, leaky=leaky, co=co, ci=ci, kh=kh,
+                         stride=stride, pads=pads, fill=fill, ow=ow, oh=oh,
+                         exact=exact):
+                    w_v, b_v, p1, p2 = opvals
+                    xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
+                    phases = []
+                    for dy in range(kh):
+                        for dx in range(kh):
+                            wsl = slice(wb + dy,
+                                        wb + dy + (ow - 1) * stride + 1,
+                                        stride)
+                            hsl = slice(hb + dx,
+                                        hb + dx + (oh - 1) * stride + 1,
+                                        stride)
+                            ph = xr[wsl, hsl, c0:c0 + ci, :]
+                            if ph.dtype != jnp.int8:
+                                ph = ph.astype(jnp.int8)
+                            phases.append(ph)
+                    X = jnp.concatenate(phases, axis=2)
+                    for s0, s1 in _strips(ow, co, oh, exact):
+                        rows = []
+                        for wpos in range(s0, s1):
+                            cols = []
+                            for hpos in range(oh):
+                                cols.append(lax.dot_general(
+                                    w_v, X[wpos, hpos],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32))
+                            rows.append(jnp.stack(cols, 0))
+                        acc = jnp.stack(rows, 0) + b_v.reshape(1, 1, co, 1)
+                        r = apply_requant_leaky(requant, leaky, acc, p1, p2,
+                                                ch_axis=2)
+                        ctx.write(out_idx, s0, s1, r)
+
+                arena_ops.append(ArenaOp(
+                    out_idx, [(x_idx, pads, fill, stride > 1)],
+                    [w2, bias_eff, requant.p1, requant.p2], emit))
+
             elif name == "CONV_2D":
                 co, kh, ci = wd.shape[0], wd.shape[1], wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
+                requant.bound = _acc_bound(
+                    np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 # [K*K, Co, Ci] taps; index k = ww*kh + hh (W-major)
                 taps = np.stack([
                     np.asarray(wd[:, hh, ww, :], np.int32)
@@ -392,10 +454,8 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                                         L, w_v[k:k + 1, :, ci_i:ci_i + 1],
                                         co)
                                     acc = acc + sl * col
-                        r = requant.apply_in_kernel(acc, p1, p2,
-                                                    ch_axis=_ch_axis(L))
-                        if leaky is not None:
-                            r = leaky.apply(r)
+                        r = apply_requant_leaky(requant, leaky, acc, p1, p2,
+                                                ch_axis=_ch_axis(L))
                         ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
@@ -407,6 +467,8 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
                             ).astype(np.int32).reshape(c, 1)
+                requant.bound = _acc_bound(
+                    np.abs(wd.astype(np.int64)).sum((0, 1, 2)), bias_eff)
                 w_taps = np.asarray(
                     wd[0].transpose(2, 1, 0), np.int32).reshape(c, 9)
 
@@ -417,26 +479,43 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                     xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
                     nt = xr.shape[-1]
                     for s0, s1 in _strips(ow, c, oh, exact):
+                        ws = s1 - s0
                         acc = (_chvec(L, b_v, c)
-                               + jnp.zeros(_shape4(L, c, s1 - s0, oh)
+                               + jnp.zeros(_shape4(L, c, ws, oh)
                                            + (nt,), jnp.int32))
-                        for dy in range(3):
-                            for dx in range(3):
-                                wsl = slice(
-                                    wb + s0 * stride + dy,
-                                    wb + s0 * stride + dy
-                                    + (s1 - s0 - 1) * stride + 1, stride)
-                                hsl = slice(hb + dx,
-                                            hb + dx + (oh - 1) * stride + 1,
-                                            stride)
-                                sl = xr[_ix(L, slice(c0, c0 + c), wsl, hsl)
-                                        ].astype(jnp.int32)
-                                tap = _chvec(L, w_v[:, dy * 3 + dx], c)
-                                acc = acc + sl * tap
-                        r = requant.apply_in_kernel(acc, p1, p2,
-                                                    ch_axis=_ch_axis(L))
-                        if leaky is not None:
-                            r = leaky.apply(r)
+                        if stride == 1:
+                            # one widening load; taps are plain-dim VALUE
+                            # slices (free vreg selects) — avoids 9 int8->
+                            # int32 relayouts per layer (measured dominant)
+                            xall = xr[_ix(L, slice(c0, c0 + c),
+                                          slice(wb + s0, wb + s1 + 2),
+                                          slice(hb, hb + oh + 2))
+                                      ].astype(jnp.int32)
+                            for dy in range(3):
+                                for dx in range(3):
+                                    sl = xall[_ix(L, slice(0, c),
+                                                  slice(dy, dy + ws),
+                                                  slice(dx, dx + oh))]
+                                    tap = _chvec(L, w_v[:, dy * 3 + dx], c)
+                                    acc = acc + sl * tap
+                        else:
+                            for dy in range(3):
+                                for dx in range(3):
+                                    wsl = slice(
+                                        wb + s0 * stride + dy,
+                                        wb + s0 * stride + dy
+                                        + (ws - 1) * stride + 1, stride)
+                                    hsl = slice(
+                                        hb + dx,
+                                        hb + dx + (oh - 1) * stride + 1,
+                                        stride)
+                                    sl = xr[_ix(L, slice(c0, c0 + c),
+                                                wsl, hsl)
+                                            ].astype(jnp.int32)
+                                    tap = _chvec(L, w_v[:, dy * 3 + dx], c)
+                                    acc = acc + sl * tap
+                        r = apply_requant_leaky(requant, leaky, acc, p1, p2,
+                                                ch_axis=_ch_axis(L))
                         ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
@@ -632,7 +711,8 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                            slice(hb, hb + oh))].astype(jnp.int32) \
                     - spec["zp_in"]
                 if spec["exact"]:
-                    o = multiply_by_quantized_multiplier(
+                    # |v| <= 255 + |zp_in|: always within the bounded path
+                    o = multiply_by_quantized_multiplier_bounded(
                         v, jnp.int32(spec["qm"]), jnp.int32(spec["sh"]))
                 else:
                     o = jnp.round(v.astype(jnp.float32)
@@ -726,6 +806,13 @@ def build_arena_plan(graph: GraphDef, exact: bool,
     cur_bytes = 0
     for aop in arena_ops:
         b = op_bytes(aop)
+        if b > budget:
+            c, w, h = _tensor_cwh(graph, aop.out_idx)
+            raise NotImplementedError(
+                f"arena plan: activation plane {c}x{w}x{h} needs ~{b} B of "
+                f"VMEM per op (> budget {budget}); the arena modes target "
+                "small embedded-resolution graphs — use mode='fast'/'exact' "
+                "for large inputs (e.g. spatially retargeted graphs)")
         if cur and cur_bytes + b > budget:
             stages.append(cur)
             cur, cur_bytes = [], 0

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from yoloface_tpu.core.fixedpoint import multiply_by_quantized_multiplier
 from yoloface_tpu.graph.ir import GraphDef
+from yoloface_tpu.kernels import pallas_int8 as pk
 from yoloface_tpu.kernels.pallas_int8 import (LeakySpec, RequantSpec,
                                               _interpret_mode)
 from yoloface_tpu.ops.int8_ref import _same_pad_amounts
@@ -223,6 +224,8 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
+                requant.bound = pk.acc_bound(
+                    np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 if kh == 1:
                     w_io = np.ascontiguousarray(
                         wd.reshape(co, wd.shape[3]).T)
@@ -290,6 +293,8 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
                             ).astype(np.int32).reshape(c, 1)
+                requant.bound = pk.acc_bound(
+                    np.abs(wd.astype(np.int64)).sum((0, 1, 2)), bias_eff)
                 # [C, 9] taps in W-major order (layout dims are [C,W,H,N])
                 w_taps = np.asarray(
                     wd[0].transpose(2, 1, 0), np.int32).reshape(c, 9)

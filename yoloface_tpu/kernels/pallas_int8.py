@@ -43,7 +43,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from yoloface_tpu.core.fixedpoint import multiply_by_quantized_multiplier
+from yoloface_tpu.core.fixedpoint import (
+    BOUNDED_MAX_ABS, multiply_by_quantized_multiplier,
+    multiply_by_quantized_multiplier_bounded)
 
 DEFAULT_NT = 128  # frames per grid step (lane dim)
 
@@ -83,6 +85,9 @@ class RequantSpec:
                  shift: Optional[np.ndarray] = None, exact: bool = False):
         self.zp_out = int(zp_out)
         self.exact = exact
+        # static |accumulator| bound (set by lowerings that know the
+        # weights); enables the 2-multiply f32-assisted exact MBQM
+        self.bound: Optional[int] = None
         c = np.asarray(scale).size
         if exact:
             self.p1 = np.asarray(qm, np.int32).reshape(c, 1)
@@ -103,8 +108,11 @@ class RequantSpec:
         # convert) is bit-identical but measured ~25% SLOWER end-to-end on
         # v5e — Mosaic lowers the int32 formulation better; keep it.
         if self.exact:
-            v = multiply_by_quantized_multiplier(
-                acc_i32, p1.reshape(shape), p2.reshape(shape))
+            mbqm = (multiply_by_quantized_multiplier_bounded
+                    if self.bound is not None
+                    and self.bound <= BOUNDED_MAX_ABS
+                    else multiply_by_quantized_multiplier)
+            v = mbqm(acc_i32, p1.reshape(shape), p2.reshape(shape))
         else:
             v = jnp.round(acc_i32.astype(jnp.float32)
                           * p1.reshape(shape)).astype(jnp.int32)
@@ -134,7 +142,9 @@ class LeakySpec:
                            jnp.int32(self.qm_id))
             sh = jnp.where(neg_sel, jnp.int32(self.sh_al),
                            jnp.int32(self.sh_id))
-            out = multiply_by_quantized_multiplier(v, qm, sh)
+            # |v| <= 255 + |zp_in| << BOUNDED_MAX_ABS: always eligible for
+            # the 2-multiply bounded MBQM
+            out = multiply_by_quantized_multiplier_bounded(v, qm, sh)
         else:
             vf = v.astype(jnp.float32)
             out = jnp.round(jnp.where(
@@ -143,8 +153,56 @@ class LeakySpec:
         return jnp.clip(out + self.zp_out, -128, 127).astype(jnp.int8)
 
 
+def acc_bound(abs_w_sum: np.ndarray, bias_eff: np.ndarray) -> int:
+    """Static per-layer |int32 accumulator| bound for a conv: max over
+    output channels of 128 * sum(|w_c|) + |bias_eff_c|.  Gates the
+    2-multiply f32-assisted exact MBQM (fixedpoint.BOUNDED_MAX_ABS)."""
+    return int((128 * np.asarray(abs_w_sum, np.int64).ravel()
+                + np.abs(np.asarray(bias_eff, np.int64)).ravel()).max())
+
+
 def _maybe_leaky(t, leaky: Optional[LeakySpec]):
     return t if leaky is None else leaky.apply(t)
+
+
+def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
+                        acc_i32, p1, p2, ch_axis: int = 0):
+    """Fused conv requant + LEAKY_RELU epilogue, bit-identical to
+    ``leaky.apply(requant.apply_in_kernel(...))`` but staying in int32
+    between the two stages: the int8 pack / re-widen relayout pair in the
+    middle is lossless after the clip (leaky.zp_in == requant.zp_out for a
+    fused conv->leaky pair), and those two converts are a measurable share
+    of the per-op epilogue cost on the VPU."""
+    if leaky is None:
+        return requant.apply_in_kernel(acc_i32, p1, p2, ch_axis)
+    assert leaky.zp_in == requant.zp_out, "not a fused conv->leaky pair"
+    c = acc_i32.shape[ch_axis]
+    shape = tuple(c if a == ch_axis else 1 for a in range(4))
+    if requant.exact:
+        mbqm = (multiply_by_quantized_multiplier_bounded
+                if requant.bound is not None
+                and requant.bound <= BOUNDED_MAX_ABS
+                else multiply_by_quantized_multiplier)
+        v = mbqm(acc_i32, p1.reshape(shape), p2.reshape(shape))
+    else:
+        v = jnp.round(acc_i32.astype(jnp.float32)
+                      * p1.reshape(shape)).astype(jnp.int32)
+    # int8 store + reload elided: clip bounds v+zp to int8 range, so the
+    # subtraction of leaky.zp_in (== zp_out) recovers the same int32 value
+    v = jnp.clip(v + requant.zp_out, -128, 127) - leaky.zp_in
+    if leaky.exact:
+        neg_sel = v < 0
+        qm = jnp.where(neg_sel, jnp.int32(leaky.qm_al),
+                       jnp.int32(leaky.qm_id))
+        sh = jnp.where(neg_sel, jnp.int32(leaky.sh_al),
+                       jnp.int32(leaky.sh_id))
+        out = multiply_by_quantized_multiplier_bounded(v, qm, sh)
+    else:
+        vf = v.astype(jnp.float32)
+        out = jnp.round(jnp.where(
+            v >= 0, vf * np.float32(leaky.s_id),
+            vf * np.float32(leaky.s_al))).astype(jnp.int32)
+    return jnp.clip(out + leaky.zp_out, -128, 127).astype(jnp.int8)
 
 
 

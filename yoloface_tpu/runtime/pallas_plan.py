@@ -118,6 +118,8 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32)
+                requant.bound = pk.acc_bound(
+                    np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 if kh == kw_ == 1:
                     w_io = np.ascontiguousarray(
                         wd.reshape(wd.shape[0], wd.shape[3]).T)
@@ -151,6 +153,8 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
                             ).astype(np.int32)
+                requant.bound = pk.acc_bound(
+                    np.abs(wd.astype(np.int64)).sum((0, 1, 2)), bias_eff)
                 # [C,Kw,Kh]: spatial dims swapped for [C, W, H, N]
                 w_c33 = np.ascontiguousarray(
                     wd[0].transpose(2, 1, 0))
