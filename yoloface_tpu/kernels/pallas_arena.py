@@ -73,6 +73,9 @@ ARENA_BUDGET = int(os.environ.get("YOLOFACE_TPU_ARENA_BUDGET",
                                   24 * 1024 * 1024))
 # live int32 accumulator bytes per requant strip (env-tunable)
 _STRIP_TARGET = int(os.environ.get("YOLOFACE_TPU_STRIP_TARGET", 4 << 20))
+# hard per-alloc ceiling: one activation plane larger than this cannot fit
+# VMEM regardless of stage partition (v5e VMEM ~128 MB, compile limit 100)
+_VMEM_CEILING = 64 * 1024 * 1024
 
 Pads = Tuple[Tuple[int, int], Tuple[int, int]]
 NOPAD: Pads = ((0, 0), (0, 0))
@@ -806,13 +809,15 @@ def build_arena_plan(graph: GraphDef, exact: bool,
     cur_bytes = 0
     for aop in arena_ops:
         b = op_bytes(aop)
-        if b > budget:
+        if b > _VMEM_CEILING:
+            # a tiny ARENA_BUDGET only forces more stages; this fires when
+            # ONE activation plane cannot fit VMEM at any partition
             c, w, h = _tensor_cwh(graph, aop.out_idx)
             raise NotImplementedError(
                 f"arena plan: activation plane {c}x{w}x{h} needs ~{b} B of "
-                f"VMEM per op (> budget {budget}); the arena modes target "
-                "small embedded-resolution graphs — use mode='fast'/'exact' "
-                "for large inputs (e.g. spatially retargeted graphs)")
+                f"VMEM (> {_VMEM_CEILING}); the arena modes target small "
+                "embedded-resolution graphs — use mode='fast'/'exact' for "
+                "large inputs (e.g. spatially retargeted graphs)")
         if cur and cur_bytes + b > budget:
             stages.append(cur)
             cur, cur_bytes = [], 0
