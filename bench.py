@@ -21,10 +21,14 @@ comparison in hardware; a mode that fails to compile FAILS the benchmark
 (no silent fallback).
 
 Methodology note: on this tunnel-attached TPU, ``jax.block_until_ready``
-can return before remote execution finishes, so every iteration fetches a
-scalar result to force completion — the conservative (latency-inclusive)
-number.  vs_baseline is the ratio to the 50,000 frames/sec/chip north-star
-target (BASELINE.json).
+can return before remote execution finishes, so completion is always
+forced by fetching a scalar result.  Two numbers are reported: the
+synchronous per-batch latency (p50, includes the fixed ~24 ms tunnel round
+trip per dispatch) and the serving throughput measured with one-batch-deep
+pipelining — dispatch batch k+1 before fetching batch k's count, exactly
+the ``host/streamer.py`` serving loop — which overlaps device compute with
+the link round trip.  vs_baseline is the ratio to the 50,000
+frames/sec/chip north-star target (BASELINE.json).
 """
 
 import json
@@ -71,14 +75,25 @@ def main():
     def measure(mode):
         step = build(mode)
         int(step(frame_bufs[0]))           # compile + first run
+        # synchronous latency (dispatch + compute + fixed ~24 ms tunnel
+        # round trip per fetch — the conservative per-batch number)
         lats = []
-        t0 = time.perf_counter()
         for i in range(iters):
             t1 = time.perf_counter()
             int(step(frame_bufs[i % 2]))   # scalar fetch forces completion
             lats.append(time.perf_counter() - t1)
+        # serving throughput: one-batch-deep pipelining, exactly like
+        # host/streamer.py — dispatch batch k+1 before fetching k's result
+        # so device compute overlaps the link round trip
+        res = step(frame_bufs[0])
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            nxt = step(frame_bufs[i % 2])
+            int(res)                       # fetch k-1 while k computes
+            res = nxt
+        int(res)
         dt = time.perf_counter() - t0
-        return batch * iters / dt, float(np.median(lats) * 1e3)
+        return batch * (iters + 1) / dt, float(np.median(lats) * 1e3)
 
     modes_fps = {}
     for mode in [m for m in EXTRA_MODES if m] + [FLAGSHIP]:
