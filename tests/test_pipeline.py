@@ -229,3 +229,23 @@ def test_e2e_from_rgb565_frames(int8_graph):
     assert det["boxes"].shape == (8, pipe.head_config.max_detections, 4)
     # RGB565 5/6/5 truncation + box downsample still detects most faces
     assert (det["count"] > 0).sum() >= 6
+
+
+def test_pallas_topk_matches_lax_topk_path():
+    """The Pallas masked-argmax selection (use_pallas_topk=True) and the
+    lax.top_k ranking produce identical visible outputs, including on
+    tie-heavy random int8 tensors and frames with zero detections."""
+    import dataclasses
+    from yoloface_tpu.pipeline import head as head_lib
+    rng = np.random.default_rng(17)
+    scale, zp = 0.14218327403068542, -15
+    y = rng.integers(-128, 128, (48, 7, 7, 18), dtype=np.int64
+                     ).astype(np.int8)
+    y[:4] = -128                       # all-below-threshold frames
+    y[5] = 127                         # saturation ties everywhere
+    cfg_p = head_lib.HeadConfig(use_pallas_topk=True)
+    cfg_x = head_lib.HeadConfig(use_pallas_topk=False)
+    outs = [head_lib.detect_int8_head(y, scale=scale, zero_point=zp,
+                                      cfg=c) for c in (cfg_p, cfg_x)]
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

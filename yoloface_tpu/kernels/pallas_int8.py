@@ -210,15 +210,22 @@ def _write_out(o, acc, requant, leaky, p1, p2, ho: int):
     """Requantize + (leaky) + store, strip-wise over H when the exact
     fixed-point path is active: SRDHM expands to ~6 int32 temporaries per
     element, so full-accumulator application can blow the 16 MB scoped-vmem
-    budget — strips bound the live set."""
+    budget — strips bound the live set.  Uses the fused epilogue (no int8
+    pack/re-widen between requant and leaky) when the pair fuses."""
+    fused = leaky is not None and leaky.zp_in == requant.zp_out
+
+    def ep(a):
+        if fused:
+            return apply_requant_leaky(requant, leaky, a, p1, p2)
+        return _maybe_leaky(requant.apply_in_kernel(a, p1, p2), leaky)
+
     if not requant.exact:
-        o[:] = _maybe_leaky(requant.apply_in_kernel(acc, p1, p2), leaky)
+        o[:] = ep(acc)
         return
     strip = max(1, ho // 4)
     for h0 in range(0, ho, strip):
         h1 = min(h0 + strip, ho)
-        t = requant.apply_in_kernel(acc[:, h0:h1], p1, p2)
-        o[:, h0:h1] = _maybe_leaky(t, leaky)
+        o[:, h0:h1] = ep(acc[:, h0:h1])
 
 
 def _param_spec(c):

@@ -33,6 +33,9 @@ class HeadConfig:
     iou_threshold: float = 0.5
     max_detections: int = 16              # fixed-shape NMS capacity
     apply_nms: bool = True
+    # rank candidates with the Pallas masked-argmax kernel instead of
+    # lax.top_k (bit-identical outputs; see kernels/pallas_head.py)
+    use_pallas_topk: bool = True
 
     @property
     def num_cells(self) -> int:
@@ -146,15 +149,25 @@ def detect_int8_head(y_int8, *, scale: float, zero_point: int,
     k = min(cfg.max_detections, cfg.num_cells)
 
     # dequantize ONCE up front: int8 slices/transposes/gathers all lower
-    # ~10x slower than their f32 twins on TPU (measured), so every
-    # layout-touching op below runs on f32
+    # ~10x slower than their f32 twins on TPU (measured; an int8 one-hot
+    # einsum variant also measured slower), so every layout-touching op
+    # below runs on f32
     qf = ((y_int8.astype(jnp.float32) - zero_point) * scale
           ).reshape(n, g, g, a, 6)
-    # candidate order = (anchor, row, col), matching decode()'s flattening
-    conf_all = jax_sigmoid(
-        jnp.transpose(qf[..., 4], (0, 3, 1, 2)).reshape(n, -1))
-    rank = jnp.where(conf_all >= cfg.conf_threshold, conf_all, 0.0)
-    _, top_idx = jax.lax.top_k(rank, k)
+    if cfg.use_pallas_topk:
+        # K masked-argmax rounds in one Pallas kernel over the identical
+        # zeroed-below-threshold f32 sigmoid key (same saturation-tie
+        # classes and index tie-break as the lax.top_k path below)
+        from yoloface_tpu.kernels.pallas_head import topk_conf_int8
+        top_idx = topk_conf_int8(
+            y_int8.reshape(n, g, g, a * 6), k, g, a, scale=scale,
+            zero_point=zero_point, conf_threshold=cfg.conf_threshold)
+    else:
+        # candidate order = (anchor, row, col), like decode()'s flattening
+        conf_all = jax_sigmoid(
+            jnp.transpose(qf[..., 4], (0, 3, 1, 2)).reshape(n, -1))
+        rank = jnp.where(conf_all >= cfg.conf_threshold, conf_all, 0.0)
+        _, top_idx = jax.lax.top_k(rank, k)
 
     cells = g * g
     anc = top_idx // cells
