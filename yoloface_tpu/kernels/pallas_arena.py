@@ -76,6 +76,10 @@ _STRIP_TARGET = int(os.environ.get("YOLOFACE_TPU_STRIP_TARGET", 4 << 20))
 # hard per-alloc ceiling: one activation plane larger than this cannot fit
 # VMEM regardless of stage partition (v5e VMEM ~128 MB, compile limit 100)
 _VMEM_CEILING = 64 * 1024 * 1024
+# experiment knob: give EVERY windowed consumer an int32 input alloc so
+# producers store wide and the per-op int8->int32 widening load disappears
+# (4x VMEM for those allocs)
+_WIDE_WINDOWS = os.environ.get("YOLOFACE_TPU_ARENA_WIDE", "0") == "1"
 
 Pads = Tuple[Tuple[int, int], Tuple[int, int]]
 NOPAD: Pads = ((0, 0), (0, 0))
@@ -413,7 +417,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                         ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
-                    out_idx, [(x_idx, pads, fill, stride > 1)],
+                    out_idx, [(x_idx, pads, fill, stride > 1 or _WIDE_WINDOWS)],
                     [w2, bias_eff, requant.p1, requant.p2], emit))
 
             elif name == "CONV_2D":
@@ -462,7 +466,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                         ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
-                    out_idx, [(x_idx, pads, fill, stride > 1)],
+                    out_idx, [(x_idx, pads, fill, stride > 1 or _WIDE_WINDOWS)],
                     [taps, bias_eff, requant.p1, requant.p2], emit))
 
             else:                       # depthwise 3x3
@@ -522,7 +526,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                         ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
-                    out_idx, [(x_idx, pads, fill, stride > 1)],
+                    out_idx, [(x_idx, pads, fill, stride > 1 or _WIDE_WINDOWS)],
                     [w_taps, bias_eff, requant.p1, requant.p2], emit))
 
         elif name == "MAX_POOL_2D":
@@ -568,7 +572,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                 ctx.write(out_idx, 0, ow, out)
 
             arena_ops.append(ArenaOp(
-                out_idx, [(x_idx, pads, fill, stride > 1)], [], emit))
+                out_idx, [(x_idx, pads, fill, stride > 1 or _WIDE_WINDOWS)], [], emit))
 
         elif name == "AVERAGE_POOL_2D":
             x_idx, pads, _ = _input_req(graph, op)
@@ -610,7 +614,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
                 ctx.write(out_idx, 0, ow, jnp.clip(mean, -128, 127))
 
             arena_ops.append(ArenaOp(
-                out_idx, [(x_idx, pads, 0, stride > 1)], [counts], emit))
+                out_idx, [(x_idx, pads, 0, stride > 1 or _WIDE_WINDOWS)], [counts], emit))
 
         elif name in ("RELU", "RELU6", "LOGISTIC"):
             (x_idx,) = op.inputs
