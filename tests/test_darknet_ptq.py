@@ -1,0 +1,212 @@
+"""End-to-end int8 PTQ of an ARBITRARY darknet graph: a yolov3-tiny-style
+two-headed FPN net (convs, maxpools, routes, upsample, two yolo heads)
+goes cfg -> template -> calibrate -> flatbuffer -> stock-interpreter /
+engine bit parity.
+
+This generalizes the reference's fixed pipeline (yolo_to_h5.py -> h5_to_pb
+-> tflite_quantize.py, which only ever quantized the one yoloface graph)
+to every cfg the parser accepts, and exercises RESIZE_NEAREST_NEIGHBOR and
+multi-output engine support."""
+
+import numpy as np
+import pytest
+
+from yoloface_tpu.io.darknet_cfg import DarknetNet, template_from_darknet
+from yoloface_tpu.io.tflite_export import export_tflite
+from yoloface_tpu.io.tflite_import import load_tflite
+from yoloface_tpu.quantize.calibrate import (calibrate_from_weights,
+                                             float_forward)
+from yoloface_tpu.runtime.engine import Int8Engine
+
+V3_TINY_CFG = """
+[net]
+width=32
+height=32
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=1
+stride=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=64
+size=3
+stride=1
+activation=leaky
+
+[convolutional]
+filters=18
+size=1
+stride=1
+activation=linear
+
+[yolo]
+
+[route]
+layers=-4
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+activation=leaky
+
+[upsample]
+stride=2
+
+[route]
+layers=-1,4
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+activation=leaky
+
+[convolutional]
+filters=18
+size=1
+stride=1
+activation=linear
+
+[yolo]
+"""
+
+
+def _random_params(net: DarknetNet, seed=0):
+    rng = np.random.default_rng(seed)
+    params = {}
+    for i, layer in enumerate(net.layers):
+        if layer.kind != "conv":
+            continue
+        k, co = layer.size, layer.filters
+        ci = 1 if layer.depthwise else layer.cin
+        p = {"kernel": rng.normal(
+            0, 0.4 / np.sqrt(k * k * ci),
+            (k, k, ci, co)).astype(np.float32)}
+        if layer.bn:
+            p["bn_scale"] = rng.uniform(0.5, 1.5, co).astype(np.float32)
+            p["bn_bias"] = rng.normal(0, 0.2, co).astype(np.float32)
+            p["bn_mean"] = rng.normal(0, 0.2, co).astype(np.float32)
+            p["bn_var"] = rng.uniform(0.5, 1.5, co).astype(np.float32)
+        else:
+            p["bias"] = rng.normal(0, 0.2, co).astype(np.float32)
+        params[f"layer{i}"] = p
+    return params
+
+
+@pytest.fixture(scope="module")
+def v3tiny():
+    net = DarknetNet(V3_TINY_CFG)
+    params = _random_params(net)
+    template, weights = template_from_darknet(net, params)
+    return net, params, template, weights
+
+
+def test_template_matches_darknet_forward(v3tiny):
+    """The GraphDef template's float interpretation == DarknetNet.apply
+    (BN folding, darknet pads, routes, upsample, two heads)."""
+    net, params, template, weights = v3tiny
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    env = float_forward(template, weights, x)
+    heads = [np.asarray(env[o]) for o in template.outputs]
+    want = [np.asarray(h) for h in net.apply(params, x)]
+    assert len(heads) == len(want) == 2
+    assert heads[0].shape == (2, 4, 4, 18)
+    assert heads[1].shape == (2, 8, 8, 18)
+    for got, exp in zip(heads, want):
+        np.testing.assert_allclose(got, exp, rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def v3tiny_int8(v3tiny):
+    _, _, template, weights = v3tiny
+    rng = np.random.default_rng(5)
+    rep = rng.uniform(0, 1, (16, 32, 32, 3)).astype(np.float32)
+    return calibrate_from_weights(weights, rep, template)
+
+
+def test_v3tiny_engine_vs_stock_interpreter(v3tiny_int8):
+    """Exported flatbuffer runs in the stock TFLite reference interpreter;
+    the exact engine matches BOTH heads bit-for-bit."""
+    tf = pytest.importorskip("tensorflow")
+    blob = export_tflite(v3tiny_int8)
+    it = tf.lite.Interpreter(
+        model_content=blob,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType.BUILTIN_REF))
+    it.allocate_tensors()
+    x = np.random.default_rng(7).integers(
+        -128, 128, (1, 32, 32, 3), dtype=np.int64).astype(np.int8)
+    it.set_tensor(it.get_input_details()[0]["index"], x)
+    it.invoke()
+    want = {tuple(d["shape"]): it.get_tensor(d["index"])
+            for d in it.get_output_details()}
+
+    eng = Int8Engine(load_tflite(blob), mode="exact")
+    outs = eng(x)
+    assert isinstance(outs, tuple) and len(outs) == 2
+    for o in outs:
+        o = np.asarray(o)
+        np.testing.assert_array_equal(o, want[o.shape])
+
+
+def test_v3tiny_all_mode_twins(v3tiny_int8):
+    """fast == pallas_mxu and exact == pallas_mxu_exact on the two-headed
+    graph (multi-output arena plans, RESIZE in-kernel)."""
+    x = np.random.default_rng(11).integers(
+        -128, 128, (4, 32, 32, 3), dtype=np.int64).astype(np.int8)
+    ref = {m: [np.asarray(o) for o in Int8Engine(v3tiny_int8, mode=m)(x)]
+           for m in ("fast", "exact")}
+    for mode, twin in (("pallas_mxu", "fast"),
+                       ("pallas_mxu_exact", "exact")):
+        got = [np.asarray(o) for o in Int8Engine(v3tiny_int8, mode=mode)(x)]
+        for g_, w_ in zip(got, ref[twin]):
+            np.testing.assert_array_equal(g_, w_)

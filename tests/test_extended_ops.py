@@ -216,3 +216,28 @@ def test_extended_ops_in_arena_modes(mode):
         got = np.asarray(Int8Engine(g, mode=mode)(x))
         np.testing.assert_array_equal(got, want,
                                       err_msg=f"{opname} {mode}")
+
+
+def test_resize_nearest_bit_exact():
+    """RESIZE_NEAREST_NEIGHBOR (the darknet `upsample` layer): our
+    exporter's flatbuffer runs in the stock reference interpreter and the
+    engine matches it bit-for-bit; the arena modes agree too."""
+    q = QParams((0.05,), (3,))
+    tensors = [
+        TensorDef(0, "in", (1, 8, 8, 4), np.dtype(np.int8), q),
+        TensorDef(1, "size", (2,), np.dtype(np.int32), None,
+                  np.array([16, 16], np.int32)),
+        TensorDef(2, "out", (1, 16, 16, 4), np.dtype(np.int8), q),
+    ]
+    g = GraphDef(tensors,
+                 [OpDef(0, "RESIZE_NEAREST_NEIGHBOR", [0, 1], [2],
+                        {"align_corners": False,
+                         "half_pixel_centers": False})],
+                 [0], [2])
+    x = np.random.default_rng(9).integers(
+        -128, 128, (1, 8, 8, 4), dtype=np.int64).astype(np.int8)
+    got, want = run_both(g, x)
+    np.testing.assert_array_equal(got, want)
+    for mode in ("pallas_arena", "pallas_mxu"):
+        m = np.asarray(Int8Engine(g, mode=mode)(x))
+        np.testing.assert_array_equal(m, want)

@@ -257,3 +257,162 @@ def load_cfg_weights(cfg_path: str, weights_path: str):
     with open(cfg_path) as f:
         net = DarknetNet(f.read())
     return net, net.load_weights(weights_path)
+
+
+# ---------------------------------------------------------------- int8 PTQ
+def template_from_darknet(net: "DarknetNet", params: Dict,
+                          input_size: int = None, eps: float = 1e-5):
+    """DarknetNet + float params -> (GraphDef template, folded weights).
+
+    The int8 deployment path for ARBITRARY darknet graphs: the returned
+    pair feeds ``quantize.calibrate.calibrate_from_weights`` /
+    ``build_int8_graph`` and then the exporter/engine — i.e. the
+    capability the reference only has for the one fixed yoloface graph
+    (cfg -> .h5 -> .pb -> tflite_quantize.py) generalized to every cfg
+    this parser accepts (convolutional / maxpool / route / shortcut /
+    upsample / yolo).  BN folds into conv weights; routes get QUANTIZE
+    ops on each input (the TFLite converter's concat convention);
+    upsample becomes RESIZE_NEAREST_NEIGHBOR.
+    """
+    import dataclasses as _dc  # noqa: F401  (parallel import style)
+    from yoloface_tpu.graph.ir import GraphDef, OpDef, TensorDef
+
+    size = input_size or int(net.net_options.get("width", 56))
+    tensors: List[TensorDef] = []
+    ops: List[OpDef] = []
+    weights: Dict[int, tuple] = {}
+
+    def new_tensor(name, shape, dtype=np.int8, data=None) -> int:
+        tensors.append(TensorDef(len(tensors), name, tuple(shape),
+                                 np.dtype(dtype), None, data))
+        return len(tensors) - 1
+
+    def new_op(opname, inputs, outputs, attrs) -> OpDef:
+        op = OpDef(len(ops), opname, list(inputs), list(outputs),
+                   dict(attrs))
+        ops.append(op)
+        return op
+
+    x0 = new_tensor("input", (1, size, size, 3))
+    layer_out: List[int] = []            # tensor index per cfg layer
+    layer_hw: List[int] = []             # spatial size per cfg layer
+
+    def prev(i):
+        return (layer_out[i - 1], layer_hw[i - 1]) if i > 0 else (x0, size)
+
+    head_outputs: List[int] = []
+    for i, layer in enumerate(net.layers):
+        t_in, hw = prev(i)
+        if layer.kind == "conv":
+            p = params[f"layer{i}"]
+            k, s_ = layer.size, layer.stride
+            co = layer.filters
+            # fold BN (same eps as DarknetNet.apply)
+            if layer.bn:
+                inv = p["bn_scale"] / np.sqrt(p["bn_var"] + eps)
+                bias = p["bn_bias"] - p["bn_mean"] * inv
+            else:
+                inv = np.ones(co, np.float32)
+                bias = p["bias"]
+            kern = p["kernel"]           # HWIO ([k,k,ci,co] / [k,k,1,C])
+            if layer.depthwise:
+                w = np.ascontiguousarray(
+                    kern.transpose(2, 0, 1, 3))          # [1,k,k,C]
+                w = w * inv.reshape(1, 1, 1, co)
+            else:
+                w = np.ascontiguousarray(
+                    kern.transpose(3, 0, 1, 2))          # OHWI
+                w = w * inv.reshape(co, 1, 1, 1)
+            if k > 1 and s_ == 2:        # darknet top-left pad
+                pad_par = new_tensor(
+                    f"l{i}_padpar", (4, 2), np.int32,
+                    np.array([[0, 0], [1, 0], [1, 0], [0, 0]], np.int32))
+                padded = new_tensor(f"l{i}_padded",
+                                    (1, hw + 1, hw + 1, 3 if i == 0
+                                     else tensors[t_in].shape[3]))
+                new_op("PAD", [t_in, pad_par], [padded], {})
+                t_in = padded
+                padding = "VALID"
+                out_hw = (hw + 1 - k) // s_ + 1
+            else:
+                padding = "SAME"
+                out_hw = -(-hw // s_)
+            w_t = new_tensor(f"l{i}_w", w.shape)
+            b_t = new_tensor(f"l{i}_b", (co,), np.int32)
+            y = new_tensor(f"l{i}_conv", (1, out_hw, out_hw, co))
+            opname = ("DEPTHWISE_CONV_2D" if layer.depthwise else "CONV_2D")
+            attrs = {"padding": padding, "stride_h": s_, "stride_w": s_,
+                     "activation": "NONE"}
+            if layer.depthwise:
+                attrs["depth_multiplier"] = 1
+            op = new_op(opname, [t_in, w_t, b_t], [y], attrs)
+            weights[op.index] = (np.asarray(w, np.float32),
+                                 np.asarray(bias, np.float32))
+            if layer.act == "leaky":
+                y2 = new_tensor(f"l{i}_leaky", (1, out_hw, out_hw, co))
+                new_op("LEAKY_RELU", [y], [y2], {"alpha": 0.1})
+                y = y2
+            elif layer.act == "relu":
+                y2 = new_tensor(f"l{i}_relu", (1, out_hw, out_hw, co))
+                new_op("RELU", [y], [y2], {})
+                y = y2
+            layer_out.append(y)
+            layer_hw.append(out_hw)
+        elif layer.kind == "maxpool":
+            out_hw = -(-hw // layer.stride)
+            c = tensors[t_in].shape[3]
+            y = new_tensor(f"l{i}_pool", (1, out_hw, out_hw, c))
+            new_op("MAX_POOL_2D", [t_in], [y],
+                   {"padding": "SAME", "stride_h": layer.stride,
+                    "stride_w": layer.stride, "filter_h": layer.size,
+                    "filter_w": layer.size, "activation": "NONE"})
+            layer_out.append(y)
+            layer_hw.append(out_hw)
+        elif layer.kind == "route":
+            srcs = [layer_out[j] for j in layer.idxs]
+            hws = {layer_hw[j] for j in layer.idxs}
+            if len(hws) != 1:
+                raise ValueError(f"route {i}: mixed spatial sizes {hws}")
+            out_hw = hws.pop()
+            qs = []
+            for j, srct in zip(layer.idxs, srcs):
+                q = new_tensor(f"l{i}_route_q{j}",
+                               tensors[srct].shape)
+                new_op("QUANTIZE", [srct], [q], {})
+                qs.append(q)
+            c = sum(tensors[s].shape[3] for s in srcs)
+            y = new_tensor(f"l{i}_route", (1, out_hw, out_hw, c))
+            new_op("CONCATENATION", qs, [y],
+                   {"axis": 3, "activation": "NONE"})
+            layer_out.append(y)
+            layer_hw.append(out_hw)
+        elif layer.kind == "shortcut":
+            a, b_ = t_in, layer_out[layer.frm]
+            if getattr(layer, "act", "linear") not in ("linear",):
+                raise NotImplementedError("shortcut activation")
+            y = new_tensor(f"l{i}_add", tensors[a].shape)
+            new_op("ADD", [a, b_], [y], {"activation": "NONE"})
+            layer_out.append(y)
+            layer_hw.append(hw)
+        elif layer.kind == "upsample":
+            s_ = layer.stride
+            c = tensors[t_in].shape[3]
+            out_hw = hw * s_
+            size_t = new_tensor(f"l{i}_size", (2,), np.int32,
+                                np.array([out_hw, out_hw], np.int32))
+            y = new_tensor(f"l{i}_up", (1, out_hw, out_hw, c))
+            new_op("RESIZE_NEAREST_NEIGHBOR", [t_in, size_t], [y],
+                   {"align_corners": False, "half_pixel_centers": False})
+            layer_out.append(y)
+            layer_hw.append(out_hw)
+        elif layer.kind == "yolo":
+            head_outputs.append(t_in)
+            layer_out.append(t_in)
+            layer_hw.append(hw)
+        else:
+            raise NotImplementedError(layer.kind)
+
+    outputs = head_outputs or [layer_out[-1]]
+    g = GraphDef(tensors=tensors, ops=ops, inputs=[x0], outputs=outputs,
+                 name="darknet", description="template_from_darknet")
+    return g, weights

@@ -28,12 +28,14 @@ _BUILTIN_CODE = {
     "AVERAGE_POOL_2D": 1, "RESHAPE": 22, "LOGISTIC": 14,
     "RELU": 19, "RELU_N1_TO_1": 20, "RELU6": 21,
     "FULLY_CONNECTED": 9, "SOFTMAX": 25,
+    "RESIZE_NEAREST_NEIGHBOR": 97,
 }
 _OPTIONS_TYPE = {   # BuiltinOptions union discriminants
     "CONV_2D": 1, "DEPTHWISE_CONV_2D": 2, "MAX_POOL_2D": 5,
     "AVERAGE_POOL_2D": 5, "CONCATENATION": 10, "ADD": 11, "PAD": 22,
     "LEAKY_RELU": 75, "QUANTIZE": 89, "RESHAPE": 17,
     "FULLY_CONNECTED": 8, "SOFTMAX": 9,
+    "RESIZE_NEAREST_NEIGHBOR": 74,
 }
 _OP_VERSION = {"CONV_2D": 3, "DEPTHWISE_CONV_2D": 3, "ADD": 2,
                "MAX_POOL_2D": 2, "CONCATENATION": 2, "PAD": 2,
@@ -138,6 +140,10 @@ def _builtin_options(b: flatbuffers.Builder, op: OpDef) -> int:
                                                       "NONE")])])
     if name == "SOFTMAX":
         return _table(b, [(0, "f32", a.get("beta", 1.0))])
+    if name == "RESIZE_NEAREST_NEIGHBOR":
+        return _table(b, [(0, "i8", 1 if a.get("align_corners") else 0, 0),
+                          (1, "i8",
+                           1 if a.get("half_pixel_centers") else 0, 0)])
     return None  # ops without a builtin-options table (LOGISTIC, RELU, ...)
 
 

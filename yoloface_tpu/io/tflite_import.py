@@ -103,10 +103,16 @@ def _softmax_options(t: Table) -> Dict[str, Any]:
     return {"beta": t.scalar(0, "f32", 1.0)}
 
 
+def _resize_nn_options(t: Table) -> Dict[str, Any]:
+    return {"align_corners": bool(t.scalar(0, "u8", 0)),
+            "half_pixel_centers": bool(t.scalar(1, "u8", 0))}
+
+
 # Operator.builtin_options is a union; the option-table parser to use is
 # keyed by the *resolved op name* (sufficient here — each of these ops has a
 # unique options table).
 _OPTION_PARSERS = {
+    "RESIZE_NEAREST_NEIGHBOR": _resize_nn_options,
     "CONV_2D": _conv2d_options,
     "DEPTHWISE_CONV_2D": _depthwise_options,
     "MAX_POOL_2D": _pool2d_options,

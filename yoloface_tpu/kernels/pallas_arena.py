@@ -745,6 +745,25 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
             arena_ops.append(ArenaOp(out_idx, [(x_idx, NOPAD, 0, False)],
                                      [], emit))
 
+        elif name == "RESIZE_NEAREST_NEIGHBOR":
+            x_idx = op.inputs[0]
+            ih, iw = t(x_idx).shape[1], t(x_idx).shape[2]
+            fh, fw = oh // ih, ow // iw
+
+            def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, fw=fw,
+                     fh=fh, iw=iw, ih=ih):
+                xr, c0, wb, hb = ctx.read_base(x_idx)
+                c = ctx.shapes[x_idx][0]
+                v = xr[_ix(L, slice(c0, c0 + c), slice(wb, wb + iw),
+                           slice(hb, hb + ih))]
+                wax, hax = (0, 1) if L == "whcn" else (1, 2)
+                v = jnp.repeat(v, fw, axis=wax)   # plain-dim replication
+                v = jnp.repeat(v, fh, axis=hax)
+                ctx.write(out_idx, 0, iw * fw, v)
+
+            arena_ops.append(ArenaOp(out_idx, [(x_idx, NOPAD, 0, False)],
+                                     [], emit))
+
         elif name == "CONCATENATION":
             idxs = list(op.inputs)
             offs = np.cumsum([0] + [t(i).shape[3] for i in idxs]).tolist()

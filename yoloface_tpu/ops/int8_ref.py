@@ -306,3 +306,18 @@ def softmax_int8(x, *, input_scale: float, input_zp: int, beta: float = 1.0):
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     return jnp.clip(jnp.round(p * 256.0) - 128, INT8_MIN,
                     INT8_MAX).astype(jnp.int8)
+
+
+def resize_nearest_int8(x, *, out_hw: Tuple[int, int]):
+    """TFLite RESIZE_NEAREST_NEIGHBOR (int8, align_corners=False,
+    half_pixel_centers=False) for integer upscale factors: pure pixel
+    replication (``floor(i * in/out)`` == ``i // factor``), the darknet
+    ``upsample`` layer's semantics (yolo_to_h5.py upsample handling).
+    Quantization passes through unchanged (TFLite keeps in/out params
+    equal for nearest resize)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if oh % h or ow % w:
+        raise NotImplementedError(
+            f"resize_nearest_int8: non-integer scale {h}x{w} -> {oh}x{ow}")
+    return jnp.repeat(jnp.repeat(x, oh // h, axis=1), ow // w, axis=2)

@@ -153,6 +153,11 @@ def float_forward(template: GraphDef,
         elif op.opname == "CONCATENATION":
             env[o] = jnp.concatenate([env[i] for i in op.inputs],
                                      axis=op.attrs["axis"])
+        elif op.opname == "RESIZE_NEAREST_NEIGHBOR":
+            x = env[op.inputs[0]]
+            oh, ow = template.tensor(o).shape[1:3]
+            env[o] = jnp.repeat(jnp.repeat(x, oh // x.shape[1], axis=1),
+                                ow // x.shape[2], axis=2)
         else:
             raise NotImplementedError(op.opname)
     return env
@@ -259,9 +264,10 @@ def build_int8_graph(template: GraphDef, weights, ranges,
         if op.opname == "CONCATENATION":
             for i in op.inputs:
                 act_q[i] = act_q[op.outputs[0]]
-    # MAX_POOL output shares input qparams (TFLite requires same in/out)
+    # MAX_POOL / RESIZE_NEAREST outputs share input qparams (TFLite
+    # requires same in/out quantization for both)
     for op in g.ops:
-        if op.opname == "MAX_POOL_2D":
+        if op.opname in ("MAX_POOL_2D", "RESIZE_NEAREST_NEIGHBOR", "RELU"):
             act_q[op.outputs[0]] = act_q[op.inputs[0]]
 
     for ti, q in act_q.items():

@@ -76,12 +76,15 @@ class Int8Engine:
             raise ValueError(f"unknown engine mode {mode!r}")
         self.mode = mode
         self.graph = graph
-        if len(graph.inputs) != 1 or len(graph.outputs) != 1:
+        if len(graph.inputs) != 1 or len(graph.outputs) < 1:
             raise ValueError(
-                f"Int8Engine supports single-input/single-output graphs; "
-                f"got {len(graph.inputs)} inputs / {len(graph.outputs)} "
-                f"outputs")
+                f"Int8Engine supports single-input graphs with >= 1 "
+                f"output; got {len(graph.inputs)} inputs / "
+                f"{len(graph.outputs)} outputs")
         self.input_idx = graph.inputs[0]
+        # multi-head graphs (e.g. two-scale yolo-v3 detectors) have several
+        # outputs; __call__ returns a tuple in graph order for those
+        self.output_idxs = list(graph.outputs)
         self.output_idx = graph.outputs[0]
         in_t = graph.tensor(self.input_idx)
         if in_t.qparams is None or in_t.dtype != np.dtype(np.int8):
@@ -292,6 +295,25 @@ class Int8Engine:
                 return ops.relu6_int8(env[x_idx], scale=float(q.scale),
                                       zero_point=q.zero_point)
 
+        elif name == "RESIZE_NEAREST_NEIGHBOR":
+            x_idx = op.inputs[0]
+            in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
+            if (in_q.scale != out_q.scale
+                    or in_q.zero_point != out_q.zero_point):
+                raise NotImplementedError(
+                    "RESIZE_NEAREST_NEIGHBOR with requantization")
+            if op.attrs.get("align_corners") or op.attrs.get(
+                    "half_pixel_centers"):
+                # for integer factors all three conventions coincide with
+                # replication; reject explicitly-flagged graphs anyway so
+                # unsupported semantics cannot pass silently
+                raise NotImplementedError(
+                    "RESIZE_NEAREST_NEIGHBOR align_corners/half_pixel")
+            out_hw = (t(out_idx).shape[1], t(out_idx).shape[2])
+
+            def fn(env, x_idx=x_idx, out_hw=out_hw):
+                return ops.resize_nearest_int8(env[x_idx], out_hw=out_hw)
+
         elif name == "FULLY_CONNECTED":
             x_idx, w_idx = op.inputs[0], op.inputs[1]
             b_idx = op.inputs[2] if len(op.inputs) > 2 else -1
@@ -358,8 +380,10 @@ class Int8Engine:
                 env = {k: jnp.transpose(v, self._perm_out)[:n]
                        for k, v in env.items()}
             return env
-        out = env[self.output_idx]
-        return jnp.transpose(out, self._perm_out)[:n] if chwn else out
+        outs = tuple(
+            (jnp.transpose(env[o], self._perm_out)[:n] if chwn else env[o])
+            for o in self.output_idxs)
+        return outs[0] if len(outs) == 1 else outs
 
     def forward_native(self, x_layout):
         """Pallas modes: forward from an input already in the engine's
@@ -371,7 +395,9 @@ class Int8Engine:
         env = {self.input_idx: x_layout}
         for fn in self._plan:
             env[fn.out_idx] = fn(env)
-        return jnp.transpose(env[self.output_idx], self._perm_out)
+        outs = tuple(jnp.transpose(env[o], self._perm_out)
+                     for o in self.output_idxs)
+        return outs[0] if len(outs) == 1 else outs
 
     def __call__(self, x):
         """Run the graph on int8 frames [N,56,56,3] -> int8 [N,7,7,18]."""
