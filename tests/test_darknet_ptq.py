@@ -210,3 +210,97 @@ def test_v3tiny_all_mode_twins(v3tiny_int8):
         got = [np.asarray(o) for o in Int8Engine(v3tiny_int8, mode=mode)(x)]
         for g_, w_ in zip(got, ref[twin]):
             np.testing.assert_array_equal(g_, w_)
+
+
+def _random_cfg(rng):
+    """A random small darknet net: conv/dw/maxpool/route/shortcut/upsample
+    with legal shapes, ending in a linear head."""
+    lines = ["[net]", "width=16", "height=16", "channels=3", ""]
+    chans = []          # out channels per layer
+    sizes = []          # spatial size per layer
+    cur_c, cur_s = 3, 16
+    n_layers = rng.integers(4, 9)
+    for i in range(int(n_layers)):
+        kinds = ["conv", "conv", "dw", "maxpool"]
+        if cur_s >= 2 and chans:
+            kinds.append("upsample" if cur_s <= 8 else "maxpool")
+        same_sized = [j for j in range(len(chans)) if sizes[j] == cur_s]
+        if same_sized:
+            kinds.append("route")
+        same_shape = [j for j in range(len(chans))
+                      if sizes[j] == cur_s and chans[j] == cur_c]
+        if same_shape:
+            kinds.append("shortcut")
+        kind = kinds[rng.integers(len(kinds))]
+        if kind == "conv":
+            f = int(rng.choice([4, 8, 12, 16]))
+            k = int(rng.choice([1, 3]))
+            act = str(rng.choice(["leaky", "leaky", "relu"]))
+            lines += ["[convolutional]", "batch_normalize=1",
+                      f"filters={f}", f"size={k}", "stride=1",
+                      f"activation={act}", ""]
+            cur_c = f
+        elif kind == "dw":
+            lines += ["[convolutional]", "batch_normalize=1",
+                      f"filters={cur_c}", "size=3", "stride=1",
+                      f"groups={cur_c}", "activation=leaky", ""]
+        elif kind == "maxpool" and cur_s >= 2:
+            lines += ["[maxpool]", "size=2", "stride=2", ""]
+            cur_s //= 2
+        elif kind == "upsample":
+            lines += ["[upsample]", "stride=2", ""]
+            cur_s *= 2
+        elif kind == "route":
+            j = int(rng.choice(same_sized))
+            rel = j - len(chans)
+            lines += ["[route]", f"layers=-1,{rel}", ""]
+            cur_c = cur_c + chans[j]
+        elif kind == "shortcut":
+            j = int(rng.choice(same_shape))
+            rel = j - len(chans)
+            lines += ["[shortcut]", f"from={rel}", ""]
+        else:
+            lines += ["[maxpool]", "size=2", "stride=1", ""]
+        chans.append(cur_c)
+        sizes.append(cur_s)
+    lines += ["[convolutional]", "filters=6", "size=1", "stride=1",
+              "activation=linear", ""]
+    return "\n".join(lines)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_cfg_int8_fuzz(seed):
+    """Property test of the WHOLE generic chain: random legal cfg ->
+    template (float parity vs DarknetNet.apply) -> calibrate -> flatbuffer
+    -> exact engine bit-identical to the stock reference interpreter."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(100 + seed)
+    cfg = _random_cfg(rng)
+    net = DarknetNet(cfg)
+    params = _random_params(net, seed=seed)
+    template, weights = template_from_darknet(net, params)
+
+    x_f = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    env = float_forward(template, weights, x_f)
+    got_f = [np.asarray(env[o]) for o in template.outputs]
+    want_f = net.apply(params, x_f)
+    if not isinstance(want_f, list):
+        want_f = [want_f]
+    for a, b in zip(got_f, want_f):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=2e-4, atol=2e-4)
+
+    rep = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    g = calibrate_from_weights(weights, rep, template)
+    blob = export_tflite(g)
+    it = tf.lite.Interpreter(
+        model_content=blob,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType.BUILTIN_REF))
+    it.allocate_tensors()
+    x = rng.integers(-128, 128, (1, 16, 16, 3),
+                     dtype=np.int64).astype(np.int8)
+    it.set_tensor(it.get_input_details()[0]["index"], x)
+    it.invoke()
+    want = it.get_tensor(it.get_output_details()[0]["index"])
+    got = np.asarray(Int8Engine(load_tflite(blob), mode="exact")(x))
+    np.testing.assert_array_equal(got, want)

@@ -153,6 +153,8 @@ def float_forward(template: GraphDef,
         elif op.opname == "CONCATENATION":
             env[o] = jnp.concatenate([env[i] for i in op.inputs],
                                      axis=op.attrs["axis"])
+        elif op.opname == "RELU":
+            env[o] = jnp.maximum(env[op.inputs[0]], 0.0)
         elif op.opname == "RESIZE_NEAREST_NEIGHBOR":
             x = env[op.inputs[0]]
             oh, ow = template.tensor(o).shape[1:3]
