@@ -304,3 +304,42 @@ def test_random_cfg_int8_fuzz(seed):
     want = it.get_tensor(it.get_output_details()[0]["index"])
     got = np.asarray(Int8Engine(load_tflite(blob), mode="exact")(x))
     np.testing.assert_array_equal(got, want)
+
+
+def test_multihead_detection_decode(v3tiny_int8):
+    """detect_multihead pools both FPN heads' candidates and applies one
+    cross-head NMS — the deployment-side decode the reference only has as
+    trainer-side eval (yolov3_train_tf.py:697-760)."""
+    from yoloface_tpu.pipeline.head import HeadConfig, detect_multihead
+    eng = Int8Engine(v3tiny_int8, mode="exact")
+    x = np.random.default_rng(21).integers(
+        -128, 128, (3, 32, 32, 3), dtype=np.int64).astype(np.int8)
+    heads = eng(x)
+    qs = [v3tiny_int8.tensor(o).qparams for o in v3tiny_int8.outputs]
+    cfgs = [HeadConfig(grid=4, stride=8,
+                       anchors=((9, 14), (12, 17), (22, 21))),
+            HeadConfig(grid=8, stride=4,
+                       anchors=((4, 7), (6, 8), (11, 10)))]
+    boxes, scores, valid = detect_multihead(
+        heads, cfgs, scales=[q.scale for q in qs],
+        zero_points=[q.zero_point for q in qs], input_size=32.0,
+        conf_threshold=0.5)
+    boxes, scores, valid = map(np.asarray, (boxes, scores, valid))
+    assert boxes.shape == (3, 16, 4) and valid.dtype == bool
+    # candidates pooled across heads: 4*4*3 + 8*8*3 = 240 cells ranked
+    assert scores.shape == (3, 16)
+    # geometric sanity: every valid box inside the 32px frame, nonneg area
+    for b, v in zip(boxes.reshape(-1, 4), valid.ravel()):
+        if v:
+            x1, y1, x2, y2 = b
+            assert 0.0 <= x1 <= x2 <= 31.0 and 0.0 <= y1 <= y2 <= 31.0
+    # NMS property: no two valid boxes in one frame overlap > iou 0.5
+    from yoloface_tpu.pipeline.head import _iou_matrix
+    import jax.numpy as jnp
+    for n in range(3):
+        vmask = valid[n]
+        iou = np.asarray(_iou_matrix(jnp.asarray(boxes[n])))
+        for i in range(16):
+            for j in range(i):
+                if vmask[i] and vmask[j]:
+                    assert iou[i, j] <= 0.5 + 1e-6

@@ -212,3 +212,32 @@ def detect_int8_head(y_int8, *, scale: float, zero_point: int,
     boxes = jnp.where(valid[..., None], boxes, 0.0)
     scores = jnp.where(valid, scores, 0.0)
     return boxes, scores, valid
+
+
+def detect_multihead(head_outputs, head_cfgs, *, scales, zero_points,
+                     input_size: float, iou_threshold: float = 0.5,
+                     conf_threshold: float = 0.7, max_detections: int = 16):
+    """Multi-scale YOLO detection: decode each head at its own grid/anchors,
+    pool all candidates, one confidence top-K + greedy NMS across heads.
+
+    The deployment-side counterpart of the v3 trainer's eval decode
+    (reference `yolov3_train_tf.py:697-760` evaluates multi-scale heads;
+    the reference never deploys them — this closes that loop for int8
+    multi-head graphs such as the two-headed FPN from
+    `io/darknet_cfg.template_from_darknet`).
+
+    head_outputs: list of int8 tensors [N, g_i, g_i, A_i*6];
+    head_cfgs:    list of HeadConfig (grid/stride/anchors per head).
+    Returns (boxes [N,K,4], scores [N,K], valid [N,K]).
+    """
+    all_boxes, all_conf = [], []
+    for y, cfg, s, zp in zip(head_outputs, head_cfgs, scales, zero_points):
+        b, c, _ = decode(y, scale=float(s), zero_point=int(zp), cfg=cfg)
+        all_boxes.append(clamp_boxes(b, limit=input_size - 1.0))
+        all_conf.append(c)
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    conf = jnp.concatenate(all_conf, axis=1)
+    sel_cfg = HeadConfig(conf_threshold=conf_threshold,
+                         iou_threshold=iou_threshold,
+                         max_detections=max_detections)
+    return select_detections(boxes, conf, sel_cfg)
