@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Set
 
-from yoloface_tpu.graph.ir import GraphDef, TensorDef
+from yoloface_tpu.graph.ir import GraphDef
 
 _SPATIAL_OPS = {
     "CONV_2D", "DEPTHWISE_CONV_2D", "MAX_POOL_2D", "AVERAGE_POOL_2D",

@@ -274,7 +274,6 @@ def template_from_darknet(net: "DarknetNet", params: Dict,
     ops on each input (the TFLite converter's concat convention);
     upsample becomes RESIZE_NEAREST_NEIGHBOR.
     """
-    import dataclasses as _dc  # noqa: F401  (parallel import style)
     from yoloface_tpu.graph.ir import GraphDef, OpDef, TensorDef
 
     size = input_size or int(net.net_options.get("width", 56))
