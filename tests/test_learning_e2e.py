@@ -3,6 +3,8 @@ deploy on the int8 engine, and verify detection quality — the full
 reference loop (train.py -> tflite_quantize.py -> MCU runtime) as one
 assertion.  (~3 min on the 1-core CPU; the deepest integration test.)"""
 
+import numpy as np
+
 from examples.train_synthetic import evaluate_deployed, train
 
 
@@ -11,4 +13,20 @@ def test_train_quantize_deploy_learns():
     metrics = evaluate_deployed(state)
     assert metrics["detected"] >= 20, metrics
     assert metrics["hit_rate"] >= 0.7, metrics
+    assert metrics["mean_iou"] >= 0.45, metrics
+
+
+def test_cfg_net_train_quantize_deploy_learns():
+    """Same loop for an ARBITRARY cfg-defined architecture: DarknetNet is
+    trained directly in JAX, then template_from_darknet -> calibrate ->
+    int8 engine.  The reference cannot do this for any net but yoloface."""
+    from examples.train_darknet import evaluate_deployed as eval_dk
+    from examples.train_darknet import train as train_dk
+
+    net, params, losses = train_dk(steps=250, batch=32, seed=0)
+    assert np.mean(losses[-20:]) < 0.5 * np.mean(losses[:10]), (
+        losses[:3], losses[-3:])
+    metrics = eval_dk(net, params)
+    assert metrics["detected"] >= 18, metrics
+    assert metrics["hit_rate"] >= 0.6, metrics
     assert metrics["mean_iou"] >= 0.45, metrics
