@@ -277,6 +277,9 @@ def template_from_darknet(net: "DarknetNet", params: Dict,
     from yoloface_tpu.graph.ir import GraphDef, OpDef, TensorDef
 
     size = input_size or int(net.net_options.get("width", 56))
+    if int(net.net_options.get("height", size)) != size and not input_size:
+        raise NotImplementedError("non-square cfg input")
+    in_c = int(net.net_options.get("channels", 3))
     tensors: List[TensorDef] = []
     ops: List[OpDef] = []
     weights: Dict[int, tuple] = {}
@@ -292,7 +295,7 @@ def template_from_darknet(net: "DarknetNet", params: Dict,
         ops.append(op)
         return op
 
-    x0 = new_tensor("input", (1, size, size, 3))
+    x0 = new_tensor("input", (1, size, size, in_c))
     layer_out: List[int] = []            # tensor index per cfg layer
     layer_hw: List[int] = []             # spatial size per cfg layer
 
@@ -327,8 +330,8 @@ def template_from_darknet(net: "DarknetNet", params: Dict,
                     f"l{i}_padpar", (4, 2), np.int32,
                     np.array([[0, 0], [1, 0], [1, 0], [0, 0]], np.int32))
                 padded = new_tensor(f"l{i}_padded",
-                                    (1, hw + 1, hw + 1, 3 if i == 0
-                                     else tensors[t_in].shape[3]))
+                                    (1, hw + 1, hw + 1,
+                                     tensors[t_in].shape[3]))
                 new_op("PAD", [t_in, pad_par], [padded], {})
                 t_in = padded
                 padding = "VALID"
