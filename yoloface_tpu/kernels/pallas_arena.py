@@ -71,8 +71,11 @@ NT = int(os.environ.get("YOLOFACE_TPU_ARENA_NT", 128))
 # estimate); ARENA_BUDGET=999999999 -> whole net in one kernel
 ARENA_BUDGET = int(os.environ.get("YOLOFACE_TPU_ARENA_BUDGET",
                                   24 * 1024 * 1024))
-# live int32 accumulator bytes per requant strip (env-tunable)
-_STRIP_TARGET = int(os.environ.get("YOLOFACE_TPU_STRIP_TARGET", 4 << 20))
+# live int32 accumulator bytes per requant strip (env-tunable).  16 MB
+# measured best on v5e: the 4 MB default left exact-mode strip-loop
+# overhead on the table (pallas_mxu_exact 77.5 -> 67.7 ms @32k; fast
+# unchanged; 64 MB saturates)
+_STRIP_TARGET = int(os.environ.get("YOLOFACE_TPU_STRIP_TARGET", 16 << 20))
 # hard per-alloc ceiling: one activation plane larger than this cannot fit
 # VMEM regardless of stage partition (v5e VMEM ~128 MB, compile limit 100)
 _VMEM_CEILING = 64 * 1024 * 1024
