@@ -147,9 +147,9 @@ class LeakySpec:
             out = multiply_by_quantized_multiplier_bounded(v, qm, sh)
         else:
             vf = v.astype(jnp.float32)
-            out = jnp.round(jnp.where(
-                v >= 0, vf * np.float32(self.s_id),
-                vf * np.float32(self.s_al))).astype(jnp.int32)
+            sel = jnp.where(v >= 0, np.float32(self.s_id),
+                            np.float32(self.s_al))
+            out = jnp.round(vf * sel).astype(jnp.int32)
         return jnp.clip(out + self.zp_out, -128, 127).astype(jnp.int8)
 
 
@@ -199,9 +199,11 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
         out = multiply_by_quantized_multiplier_bounded(v, qm, sh)
     else:
         vf = v.astype(jnp.float32)
-        out = jnp.round(jnp.where(
-            v >= 0, vf * np.float32(leaky.s_id),
-            vf * np.float32(leaky.s_al))).astype(jnp.int32)
+        # select the scalar factor, then ONE multiply (bit-identical to
+        # selecting between the two products; saves a full-tensor multiply)
+        sel = jnp.where(v >= 0, np.float32(leaky.s_id),
+                        np.float32(leaky.s_al))
+        out = jnp.round(vf * sel).astype(jnp.int32)
     return jnp.clip(out + leaky.zp_out, -128, 127).astype(jnp.int8)
 
 
