@@ -52,7 +52,7 @@ def main():
     from yoloface_tpu.pipeline.e2e import FacePipeline
     from yoloface_tpu.runtime.engine import Int8Engine
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     graph = load_tflite(TFLITE)
 

@@ -69,8 +69,13 @@ from yoloface_tpu.ops.int8_ref import _same_pad_amounts
 NT = int(os.environ.get("YOLOFACE_TPU_ARENA_NT", 128))
 # per-stage VMEM budget for the activation arena (bytes, sublane-padded
 # estimate); ARENA_BUDGET=999999999 -> whole net in one kernel
+# 40 MB fits the whole 56-net in ONE kernel (est 36.3 MB; measured 27.0
+# vs 27.3 ms @32k for the 2-stage split) while 112+ retargeted graphs
+# still partition; exact modes cap at 24 MB (their requant-strip
+# temporaries need the headroom)
 ARENA_BUDGET = int(os.environ.get("YOLOFACE_TPU_ARENA_BUDGET",
-                                  24 * 1024 * 1024))
+                                  40 * 1024 * 1024))
+_EXACT_BUDGET_CAP = 24 * 1024 * 1024
 # live int32 accumulator bytes per requant strip (env-tunable).  16 MB
 # measured best on v5e: the 4 MB default left exact-mode strip-loop
 # overhead on the table (pallas_mxu_exact 77.5 -> 67.7 ms @32k; fast
@@ -821,7 +826,8 @@ def build_arena_plan(graph: GraphDef, exact: bool,
                      layout: str = "cwhn") -> List[Callable]:
     assert layout in ("cwhn", "whcn"), layout
     if budget is None:
-        budget = ARENA_BUDGET
+        budget = (min(ARENA_BUDGET, _EXACT_BUDGET_CAP) if exact
+                  else ARENA_BUDGET)
     arena_ops, concat_alias = lower_arena_ops(graph, exact, layout)
     graph_outputs = set(graph.outputs)
 
