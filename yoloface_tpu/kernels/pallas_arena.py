@@ -69,12 +69,12 @@ from yoloface_tpu.ops.int8_ref import _same_pad_amounts
 NT = int(os.environ.get("YOLOFACE_TPU_ARENA_NT", 128))
 # per-stage VMEM budget for the activation arena (bytes, sublane-padded
 # estimate); ARENA_BUDGET=999999999 -> whole net in one kernel
-# 40 MB fits the whole 56-net in ONE kernel (est 36.3 MB; measured 27.0
-# vs 27.3 ms @32k for the 2-stage split) while 112+ retargeted graphs
-# still partition; exact modes cap at 24 MB (their requant-strip
-# temporaries need the headroom)
+# NOTE: 40 MB fits the whole 56-net in ONE mega-kernel (est 36.3 MB) and
+# wins 0.25 ms net-only @32k, but LOSES ~9% in the full pipeline @64k
+# (919k vs 1008k fps — less overlap with the preprocess/head kernels), so
+# the 2-stage 24 MB default stays
 ARENA_BUDGET = int(os.environ.get("YOLOFACE_TPU_ARENA_BUDGET",
-                                  40 * 1024 * 1024))
+                                  24 * 1024 * 1024))
 _EXACT_BUDGET_CAP = 24 * 1024 * 1024
 # live int32 accumulator bytes per requant strip (env-tunable).  16 MB
 # measured best on v5e: the 4 MB default left exact-mode strip-loop
