@@ -85,7 +85,10 @@ def attr_f(name: str, v: float) -> bytes:
 
 
 def attr_ints(name: str, vals) -> bytes:
-    return fb(5, fs(1, name) + b"".join(fv(7, int(v)) for v in vals)
+    # AttributeProto.ints is field 8 (field 7 is the repeated float
+    # 'floats'); verified against the reference yoloface-50k.onnx, whose
+    # 'strides' attribute encodes its values with key 0x40 = field 8.
+    return fb(5, fs(1, name) + b"".join(fv(8, int(v)) for v in vals)
               + fv(20, ATTR_INTS))
 
 
@@ -297,7 +300,7 @@ def parse_model(buf: bytes) -> dict:
                                     a["f"] = v4
                                 elif f4 == 3:
                                     a["i"] = v4
-                                elif f4 == 7:
+                                elif f4 == 8:
                                     a["ints"].append(v4)
                             nd["attrs"][a["name"]] = a
                     out["nodes"].append(nd)
