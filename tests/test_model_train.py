@@ -118,3 +118,45 @@ def test_grad_clipping_applied():
     _, metrics = step(state, images, targets)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_step_scheduler_halves_lr():
+    """StepLR parity (train_simplified.py:276-281): lr halves every
+    step_size epochs, staircase."""
+    from yoloface_tpu.train.steps import make_optimizer
+    cfg = TrainConfig(learning_rate=1e-3, epochs=4, steps_per_epoch=10,
+                      lr_scheduler="step", step_size_epochs=2,
+                      step_gamma=0.5)
+    _, sched = make_optimizer(cfg)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(19)) == pytest.approx(1e-3)
+    assert float(sched(20)) == pytest.approx(5e-4)
+    assert float(sched(40)) == pytest.approx(2.5e-4)
+
+
+def test_plateau_scheduler_reduces_on_stuck_loss():
+    """ReduceLROnPlateau parity (train_simplified.py:283-291): when the
+    loss fed to the optimizer stops improving for `patience` updates, the
+    effective lr (reported in metrics) is scaled by `factor`."""
+    cfg = TrainConfig(learning_rate=1e-3, lr_scheduler="plateau",
+                      plateau_patience=3, plateau_factor=0.5)
+    state = init_state(jax.random.PRNGKey(0), cfg)
+    step = jax.jit(make_train_step(cfg))
+    # a batch the model cannot fit (constant images, impossible targets)
+    # keeps the loss flat enough to trigger the plateau after patience
+    images = np.zeros((2, 56, 56, 3), np.float32)
+    targets = np.zeros((2, 3, 7, 7, 6), np.float32)
+    lrs = []
+    for _ in range(30):
+        state, metrics = step(state, images, targets)
+        lrs.append(float(metrics["lr"]))
+    assert lrs[0] == pytest.approx(1e-3, rel=1e-3)
+    assert min(lrs) <= 1e-3 * 0.5 + 1e-9, lrs
+
+
+def test_cosine_default_unchanged():
+    from yoloface_tpu.train.steps import make_optimizer
+    cfg = TrainConfig(learning_rate=1e-3, epochs=1, steps_per_epoch=100)
+    _, sched = make_optimizer(cfg)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(100)) == pytest.approx(1e-5, rel=1e-2)

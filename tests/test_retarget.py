@@ -74,6 +74,90 @@ def test_retarget_arena_plans_or_guards(int8_graph, graph112):
         build_arena_plan(graph448, exact=False, layout="whcn")
 
 
+UPSAMPLE_CFG = """
+[net]
+width=16
+height=16
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+activation=leaky
+
+[upsample]
+stride=2
+
+[convolutional]
+filters=18
+size=1
+stride=1
+activation=linear
+
+[yolo]
+"""
+
+
+def test_retarget_rewrites_resize_size_constant():
+    """RESIZE_NEAREST_NEIGHBOR carries its out H,W as a (2,) int32 const;
+    retargeting must rewrite it or the exported flatbuffer upsamples to
+    the OLD resolution in the stock interpreter (ADVICE r2 #2).  Pin
+    bit-parity of the retargeted-with-upsample flatbuffer."""
+    tf = pytest.importorskip("tensorflow")
+    from yoloface_tpu.io.darknet_cfg import DarknetNet, template_from_darknet
+    from yoloface_tpu.io.tflite_import import load_tflite
+    from yoloface_tpu.quantize.calibrate import calibrate_from_weights
+
+    net = DarknetNet(UPSAMPLE_CFG)
+    rng = np.random.default_rng(0)
+    params = {}
+    for i, layer in enumerate(net.layers):
+        if layer.kind != "conv":
+            continue
+        k, co, ci = layer.size, layer.filters, layer.cin
+        p = {"kernel": rng.normal(0, 0.4 / np.sqrt(k * k * ci),
+                                  (k, k, ci, co)).astype(np.float32)}
+        if layer.bn:
+            p.update(bn_scale=rng.uniform(0.5, 1.5, co).astype(np.float32),
+                     bn_bias=rng.normal(0, 0.2, co).astype(np.float32),
+                     bn_mean=rng.normal(0, 0.2, co).astype(np.float32),
+                     bn_var=rng.uniform(0.5, 1.5, co).astype(np.float32))
+        else:
+            p["bias"] = rng.normal(0, 0.2, co).astype(np.float32)
+        params[f"layer{i}"] = p
+    template, weights = template_from_darknet(net, params)
+    rep = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    int8 = calibrate_from_weights(weights, rep, template)
+
+    g2 = retarget_spatial(int8, 2)
+    resize = next(o for o in g2.ops
+                  if o.opname == "RESIZE_NEAREST_NEIGHBOR")
+    size = g2.tensor(resize.inputs[1]).data
+    np.testing.assert_array_equal(size, [16, 16])       # 8x8 * 2(up) * 2(ret)
+
+    buf = export_tflite(g2)
+    it = tf.lite.Interpreter(
+        model_content=buf,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType.BUILTIN_REF))
+    it.allocate_tensors()
+    x = _rand_input((1, 32, 32, 3), seed=3)
+    it.set_tensor(it.get_input_details()[0]["index"], x)
+    it.invoke()
+    want = it.get_tensor(it.get_output_details()[0]["index"])
+    got = np.asarray(Int8Engine(load_tflite(buf), mode="exact")(x))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_retarget_rejects_non_conv_graph(int8_graph):
     import dataclasses
     bad = dataclasses.replace(int8_graph)

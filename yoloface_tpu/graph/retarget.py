@@ -68,6 +68,18 @@ def retarget_spatial(graph: GraphDef, factor: int) -> GraphDef:
     ops = [dataclasses.replace(o, inputs=list(o.inputs),
                                outputs=list(o.outputs), attrs=dict(o.attrs))
            for o in graph.ops]
+
+    # RESIZE_NEAREST_NEIGHBOR carries its output H,W as a (2,) int32 const
+    # second input.  The engine derives out_hw from the (rescaled) output
+    # tensor shape, but the exported flatbuffer must carry a consistent
+    # size tensor or the stock TFLite interpreter would resize to the OLD
+    # resolution — rewrite the const to factor*old.
+    size_idx: Set[int] = {op.inputs[1] for op in ops
+                          if op.opname == "RESIZE_NEAREST_NEIGHBOR"}
+    for i, t in enumerate(tensors):
+        if t.index in size_idx and t.is_const:
+            tensors[i] = dataclasses.replace(
+                t, data=(t.data * factor).astype(t.data.dtype))
     return GraphDef(tensors=tensors, ops=ops,
                     inputs=list(graph.inputs), outputs=list(graph.outputs),
                     name=f"{graph.name}@{factor}x",

@@ -755,6 +755,18 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
 
         elif name == "RESIZE_NEAREST_NEIGHBOR":
             x_idx = op.inputs[0]
+            # same guards as engine._lower_op: replication is only valid
+            # when no requantization happens and no alternate sampling
+            # convention is flagged (ADVICE r2 #3)
+            in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
+            if (in_q.scale != out_q.scale
+                    or in_q.zero_point != out_q.zero_point):
+                raise NotImplementedError(
+                    "RESIZE_NEAREST_NEIGHBOR with requantization")
+            if op.attrs.get("align_corners") or op.attrs.get(
+                    "half_pixel_centers"):
+                raise NotImplementedError(
+                    "RESIZE_NEAREST_NEIGHBOR align_corners/half_pixel")
             ih, iw = t(x_idx).shape[1], t(x_idx).shape[2]
             fh, fw = oh // ih, ow // iw
 

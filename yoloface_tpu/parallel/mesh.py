@@ -70,6 +70,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
     does the gradient all-reduce ride DCN (see docs/MULTICHIP.md).
     """
     if coordinator_address is not None:
+        try:
+            # CPU-backend cross-process collectives need gloo (harmless
+            # for TPU, whose collectives ride ICI/DCN natively); validated
+            # by tools/dcn_smoke.py
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)

@@ -41,18 +41,48 @@ class TrainConfig:
     optimizer: str = "adam"             # adam | adamw | sgd (train_simplified)
     warmup_steps: int = 0
     min_lr_fraction: float = 0.01       # eta_min of CosineAnnealingLR
+    # scheduler family from the reference's train_simplified.py:44-46,
+    # 269-295: cosine (CosineAnnealingLR) | step (StepLR, gamma 0.5) |
+    # plateau (ReduceLROnPlateau on the train loss, factor 0.5)
+    lr_scheduler: str = "cosine"
+    step_size_epochs: int = 20          # StepLR step_size
+    step_gamma: float = 0.5             # StepLR gamma
+    plateau_patience: int = 5           # ReduceLROnPlateau patience (steps
+    plateau_factor: float = 0.5         # of the metric fed to update())
 
 
 def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
                                               optax.Schedule]:
     total_steps = max(cfg.epochs * cfg.steps_per_epoch, 1)
-    schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0 if cfg.warmup_steps else cfg.learning_rate,
-        peak_value=cfg.learning_rate,
-        warmup_steps=cfg.warmup_steps,
-        decay_steps=total_steps,
-        end_value=cfg.learning_rate * cfg.min_lr_fraction,
-    )
+    if cfg.lr_scheduler == "cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if cfg.warmup_steps else cfg.learning_rate,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=total_steps,
+            end_value=cfg.learning_rate * cfg.min_lr_fraction,
+        )
+    elif cfg.lr_scheduler == "step":
+        # StepLR: lr * gamma^(epoch // step_size), with linear warmup
+        boundary = max(cfg.step_size_epochs * cfg.steps_per_epoch, 1)
+
+        def schedule(count):
+            lr = cfg.learning_rate * cfg.step_gamma ** (count // boundary)
+            if cfg.warmup_steps:
+                lr = lr * jnp.minimum(1.0, (count + 1) / cfg.warmup_steps)
+            return lr
+    elif cfg.lr_scheduler == "plateau":
+        # base lr constant (+ warmup); the decay itself is the
+        # reduce_on_plateau transform chained below, driven by the loss
+        # value passed to tx.update — the jit-pure analogue of torch's
+        # stateful ReduceLROnPlateau
+        def schedule(count):
+            lr = jnp.asarray(cfg.learning_rate)
+            if cfg.warmup_steps:
+                lr = lr * jnp.minimum(1.0, (count + 1) / cfg.warmup_steps)
+            return lr
+    else:
+        raise ValueError(f"unknown lr_scheduler {cfg.lr_scheduler!r}")
     if cfg.optimizer == "adam":
         opt = optax.adam(schedule)
     elif cfg.optimizer == "adamw":
@@ -61,8 +91,22 @@ def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
         opt = optax.sgd(schedule, momentum=0.9)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), opt)
+    links = [optax.clip_by_global_norm(cfg.grad_clip_norm), opt]
+    if cfg.lr_scheduler == "plateau":
+        links.append(optax.contrib.reduce_on_plateau(
+            factor=cfg.plateau_factor, patience=cfg.plateau_patience,
+            min_scale=1e-6 / cfg.learning_rate))
+    tx = optax.chain(*links)
     return tx, schedule
+
+
+def _plateau_scale(opt_state):
+    """Current ReduceLROnPlateau scale (1.0 when no plateau link)."""
+    for s in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: hasattr(x, "scale")):
+        if hasattr(s, "scale"):
+            return s.scale
+    return jnp.asarray(1.0)
 
 
 def init_state(rng, cfg: TrainConfig, model: Optional[YoloFace] = None,
@@ -96,8 +140,10 @@ def make_train_step(cfg: TrainConfig, model: Optional[YoloFace] = None):
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"], state["batch_stats"],
                                    images, targets)
+        # value= feeds the plateau scheduler when configured; the other
+        # chains ignore extra args (optax extra-args protocol)
         updates, new_opt = tx.update(grads, state["opt_state"],
-                                     state["params"])
+                                     state["params"], value=loss)
         new_params = optax.apply_updates(state["params"], updates)
         gnorm = optax.global_norm(grads)
         new_state = {
@@ -107,7 +153,7 @@ def make_train_step(cfg: TrainConfig, model: Optional[YoloFace] = None):
             "step": state["step"] + 1,
         }
         metrics = {"loss": loss, "grad_norm": gnorm,
-                   "lr": schedule(state["step"])}
+                   "lr": schedule(state["step"]) * _plateau_scale(new_opt)}
         return new_state, metrics
 
     return train_step
