@@ -60,3 +60,66 @@ def test_invalid_mode_rejected(int8_graph):
     import pytest
     with pytest.raises(ValueError):
         Int8Engine(int8_graph, mode="turbo")
+
+
+# ---------------------------------------------------------------- fast2
+def test_fast2_twin_bit_exact(int8_graph, dataset_images):
+    """pallas_mxu2 (arena v2 epilogue) must be bit-identical to its XLA
+    twin fast2 — the same lockstep contract as fast<->pallas_mxu."""
+    e_xla = Int8Engine(int8_graph, mode="fast2")
+    e_pls = Int8Engine(int8_graph, mode="pallas_mxu2")
+    x = np.concatenate([x for _, x in sorted(dataset_images.items())[:4]])
+    np.testing.assert_array_equal(np.asarray(e_xla(x)),
+                                  np.asarray(e_pls(x)))
+    rng = np.random.default_rng(0)
+    xr = rng.integers(-128, 128, (4, 56, 56, 3)).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(e_xla(xr)),
+                                  np.asarray(e_pls(xr)))
+
+
+def test_fast2_closer_to_float_ideal(int8_graph, dataset_images):
+    """The single-rounding epilogue is a quality IMPROVEMENT: fast2's head
+    output is closer to the float ideal (dequantized-weights float forward,
+    output quantized once) than both fast and exact.  Measured on the
+    corpus: mean |err| ~0.59 steps (fast 0.99, exact 1.02), max 7 (15/16).
+    Reference analogue: the one-LUT epilogue, network.c:2900-2921."""
+    from yoloface_tpu.models.import_weights import dequantize_template_weights
+    from yoloface_tpu.quantize.calibrate import float_forward
+
+    w = dequantize_template_weights(int8_graph)
+    x = np.concatenate([x for _, x in sorted(dataset_images.items())[:8]])
+    xf = (x.astype(np.float32) + 128) / 255.0
+    head_f = np.asarray(float_forward(int8_graph, w, xf)[
+        int8_graph.outputs[0]])
+    q = int8_graph.tensor(int8_graph.outputs[0]).qparams
+    ideal = np.clip(np.round(head_f / q.scale) + q.zero_point, -128, 127)
+
+    def err(mode):
+        y = np.asarray(Int8Engine(int8_graph, mode=mode)(x)).astype(float)
+        return np.abs(y - ideal)
+
+    e2, ef = err("fast2"), err("fast")
+    assert e2.mean() < ef.mean()
+    assert e2.max() <= ef.max()
+    assert e2.mean() < 0.8, float(e2.mean())
+
+
+def test_fast2_detections_vs_exact_bounded(int8_graph, dataset_images):
+    """fast2's divergence from exact stays in the same class as TFLite's
+    own backend divergence: a few count flips on the corpus, and when
+    counts match, small box/score drift.  (fast2 is *closer* to float
+    truth than exact — see test_fast2_closer_to_float_ideal — so flips
+    are exact's rounding noise as much as fast2's.)"""
+    pipe_exact = FacePipeline(Int8Engine(int8_graph, mode="exact"))
+    pipe_f2 = FacePipeline(Int8Engine(int8_graph, mode="fast2"))
+    flips = 0
+    for name, x in sorted(dataset_images.items()):
+        de = pipe_exact.detect_int8(x)
+        df = pipe_f2.detect_int8(x)
+        if int(de["count"][0]) != int(df["count"][0]):
+            flips += 1
+            continue
+        be = np.sort(de["boxes"][0][de["valid"][0]], axis=0)
+        bf = np.sort(df["boxes"][0][df["valid"][0]], axis=0)
+        np.testing.assert_allclose(bf, be, atol=3.0, err_msg=name)
+    assert flips <= 5, flips

@@ -243,9 +243,37 @@ def test_pallas_topk_matches_lax_topk_path():
                      ).astype(np.int8)
     y[:4] = -128                       # all-below-threshold frames
     y[5] = 127                         # saturation ties everywhere
-    cfg_p = head_lib.HeadConfig(use_pallas_topk=True)
-    cfg_x = head_lib.HeadConfig(use_pallas_topk=False)
+    cfg_p = head_lib.HeadConfig(use_pallas_topk=True, use_fused_head=False)
+    cfg_x = head_lib.HeadConfig(use_pallas_topk=False, use_fused_head=False)
     outs = [head_lib.detect_int8_head(y, scale=scale, zero_point=zp,
                                       cfg=c) for c in (cfg_p, cfg_x)]
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_head_kernel_matches_staged_path():
+    """The one-kernel head (use_fused_head=True: top-K + decode + NMS in
+    a single Pallas call) is bit-identical to the staged path, including
+    zero-detection frames, saturation-tie frames, and NMS-heavy frames."""
+    import dataclasses
+    from yoloface_tpu.pipeline import head as head_lib
+    rng = np.random.default_rng(23)
+    scale, zp = 0.14218327403068542, -15
+    y = rng.integers(-128, 128, (48, 7, 7, 18), dtype=np.int64
+                     ).astype(np.int8)
+    y[:4] = -128                       # all-below-threshold frames
+    y[5] = 127                         # saturation ties everywhere
+    y[6, :, :, 4::6] = 127             # every candidate passes -> NMS-heavy
+    cfg_f = head_lib.HeadConfig(use_fused_head=True)
+    cfg_s = dataclasses.replace(cfg_f, use_fused_head=False)
+    outs = [head_lib.detect_int8_head(y, scale=scale, zero_point=zp,
+                                      cfg=c) for c in (cfg_f, cfg_s)]
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and without NMS
+    outs = [head_lib.detect_int8_head(
+        y, scale=scale, zero_point=zp,
+        cfg=dataclasses.replace(c, apply_nms=False))
+        for c in (cfg_f, cfg_s)]
     for a, b in zip(*outs):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -10,6 +10,9 @@ requant chain, the exact gemmlowp chain, and an all-int32 arena.
 
 Usage: python tools/microbench.py [batch] [C] [S]   (defaults 32768 8 28)
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import sys
 import time

@@ -11,6 +11,9 @@ times the NET ONLY (no preprocess/decode) with in-jit repetition via
 lax.fori_loop-free chaining: the whole net is jitted once and iterated with
 a scalar fetch per step (tunnel-safe; see CLAUDE.md methodology notes).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -8,6 +8,9 @@ kernels are bit-exact — run it each round and commit TPU_SMOKE.json.
 Usage: python tools/tpu_smoke.py [out.json]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import sys
 
@@ -15,10 +18,10 @@ import numpy as np
 
 TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
 IMG = "/root/reference/yoloface/small_dataset/img_1087.jpg"
-MODES = ["exact", "fast", "pallas", "pallas_exact",
+MODES = ["exact", "fast", "fast2", "pallas", "pallas_exact",
          "pallas_fused", "pallas_fused_exact",
          "pallas_arena", "pallas_arena_exact",
-         "pallas_mxu", "pallas_mxu_exact"]
+         "pallas_mxu", "pallas_mxu_exact", "pallas_mxu2"]
 
 
 def main():
@@ -52,9 +55,10 @@ def main():
     for mode in MODES:
         try:
             y = np.asarray(Int8Engine(graph, mode=mode)(x))
-            if mode in ("exact", "fast"):
+            if mode in ("exact", "fast", "fast2"):
                 twin[mode] = y
-            tw = twin["exact" if mode.endswith("exact") else "fast"]
+            tw = twin["exact" if mode.endswith("exact")
+                      else "fast2" if mode.endswith("2") else "fast"]
             results[mode] = {
                 "compiled": True,
                 "bit_exact_vs_oracle": bool(np.array_equal(y[:1], oracle)),

@@ -10,6 +10,9 @@ bit parity -> XLA serving-path throughput (the VMEM arena modes refuse
 
 Usage (real TPU): python tools/yoloface448.py [batch] [iters]
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import sys
 import time

@@ -28,7 +28,8 @@ def _conv(x, w, b, strides, pads, group):
         x, w, window_strides=strides,
         padding=((pt, pb), (pl, pr)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=group)
+        feature_group_count=group,
+        precision=jax.lax.Precision.HIGHEST)
     return out + b.reshape(1, -1, 1, 1)
 
 

@@ -246,8 +246,11 @@ def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
     return x_idx, NOPAD, 0
 
 
-def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
-    """Returns (arena_ops, concat_alias) after absorbing LEAKY + PAD."""
+def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
+                    v2: bool = False):
+    """Returns (arena_ops, concat_alias) after absorbing LEAKY + PAD.
+    ``v2`` selects the single-rounding fused conv+leaky epilogue (fast2
+    semantics; see ops/int8_fast2.py)."""
     from yoloface_tpu.runtime.pallas_plan import _leaky_spec, _requant_spec
     from yoloface_tpu.runtime.engine import _check_no_dilation
     from collections import Counter
@@ -308,6 +311,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str):
             in_q, out_q = t(x_raw).qparams, out_t.qparams
             requant = _requant_spec(in_q.scale, w.qparams.scales,
                                     out_q.scale, out_q.zero_point, exact)
+            requant.v2 = bool(v2) or requant.v2
             leaky = (None if leaky_op is None
                      else _leaky_spec(graph, leaky_op, exact))
             stride = op.attrs["stride_h"]
@@ -835,12 +839,13 @@ def _tensor_cwh(graph: GraphDef, i: int) -> Tuple[int, int, int]:
 
 def build_arena_plan(graph: GraphDef, exact: bool,
                      budget: Optional[int] = None,
-                     layout: str = "cwhn") -> List[Callable]:
+                     layout: str = "cwhn",
+                     v2: bool = False) -> List[Callable]:
     assert layout in ("cwhn", "whcn"), layout
     if budget is None:
         budget = (min(ARENA_BUDGET, _EXACT_BUDGET_CAP) if exact
                   else ARENA_BUDGET)
-    arena_ops, concat_alias = lower_arena_ops(graph, exact, layout)
+    arena_ops, concat_alias = lower_arena_ops(graph, exact, layout, v2=v2)
     graph_outputs = set(graph.outputs)
 
     # greedy stage partition on estimated alloc bytes

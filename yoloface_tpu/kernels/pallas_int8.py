@@ -34,6 +34,7 @@ closure.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -85,6 +86,10 @@ class RequantSpec:
                  shift: Optional[np.ndarray] = None, exact: bool = False):
         self.zp_out = int(zp_out)
         self.exact = exact
+        # fast-bits-v2 single-rounding fused epilogue (see
+        # apply_requant_leaky); selected by the *2 engine modes, or forced
+        # globally for A/B probes via YOLOFACE_TPU_EPILOGUE_V2=1
+        self.v2 = os.environ.get("YOLOFACE_TPU_EPILOGUE_V2") == "1"
         # static |accumulator| bound (set by lowerings that know the
         # weights); enables the 2-multiply f32-assisted exact MBQM
         self.bound: Optional[int] = None
@@ -178,6 +183,19 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
     assert leaky.zp_in == requant.zp_out, "not a fused conv->leaky pair"
     c = acc_i32.shape[ch_axis]
     shape = tuple(c if a == ch_axis else 1 for a in range(4))
+    if getattr(requant, "v2", False) and not requant.exact:
+        # fast-bits-v2: ONE rounding across the fused pair (the reference's
+        # own epilogue semantics — the int8 LUT applies conv requant and
+        # LeakyReLU with a single quantization step, network.c:2900-2921).
+        # The conv's saturation is applied as an f32 clamp on the UNROUNDED
+        # conv-domain value; the only round is at the final output grid.
+        t = acc_i32.astype(jnp.float32) * p1.reshape(shape)
+        t = jnp.clip(t, np.float32(-128 - requant.zp_out),
+                     np.float32(127 - requant.zp_out))
+        sel = jnp.where(t >= 0, np.float32(leaky.s_id),
+                        np.float32(leaky.s_al))
+        out = jnp.round(t * sel).astype(jnp.int32)
+        return jnp.clip(out + leaky.zp_out, -128, 127).astype(jnp.int8)
     if requant.exact:
         mbqm = (multiply_by_quantized_multiplier_bounded
                 if requant.bound is not None
@@ -188,8 +206,9 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
         v = jnp.round(acc_i32.astype(jnp.float32)
                       * p1.reshape(shape)).astype(jnp.int32)
     # int8 store + reload elided: clip bounds v+zp to int8 range, so the
-    # subtraction of leaky.zp_in (== zp_out) recovers the same int32 value
-    v = jnp.clip(v + requant.zp_out, -128, 127) - leaky.zp_in
+    # subtraction of leaky.zp_in (== zp_out) recovers the same int32 value;
+    # clip(v+zp)-zp folds to ONE clip with shifted bounds (bit-identical)
+    v = jnp.clip(v, -128 - requant.zp_out, 127 - requant.zp_out)
     if leaky.exact:
         neg_sel = v < 0
         qm = jnp.where(neg_sel, jnp.int32(leaky.qm_al),

@@ -36,6 +36,10 @@ class HeadConfig:
     # rank candidates with the Pallas masked-argmax kernel instead of
     # lax.top_k (bit-identical outputs; see kernels/pallas_head.py)
     use_pallas_topk: bool = True
+    # run the ENTIRE head (top-K + decode + NMS) as one Pallas kernel —
+    # bit-identical to the staged path (tests/test_pipeline.py), no
+    # full-tensor dequant / one-hot einsum / HBM round-trips
+    use_fused_head: bool = True
 
     @property
     def num_cells(self) -> int:
@@ -147,6 +151,16 @@ def detect_int8_head(y_int8, *, scale: float, zero_point: int,
     g = cfg.grid
     a = len(cfg.anchors)
     k = min(cfg.max_detections, cfg.num_cells)
+
+    if cfg.use_fused_head:
+        from yoloface_tpu.kernels.pallas_head import detect_head_fused
+        return detect_head_fused(
+            y_int8.reshape(n, g, g, a * 6), scale=float(scale),
+            zero_point=int(zero_point), grid_g=g, anchors_a=a,
+            anchors=cfg.anchors, stride=float(cfg.stride),
+            conf_threshold=float(cfg.conf_threshold),
+            iou_threshold=float(cfg.iou_threshold), k=k,
+            apply_nms=cfg.apply_nms)
 
     # dequantize ONCE up front: int8 slices/transposes/gathers all lower
     # ~10x slower than their f32 twins on TPU (measured; an int8 one-hot

@@ -119,17 +119,22 @@ def float_forward(template: GraphDef,
                 ph = _same_pad_amounts(x.shape[1], stride[0], w.shape[1])
                 pw = _same_pad_amounts(x.shape[2], stride[1], w.shape[2])
                 x = jnp.pad(x, [(0, 0), ph, pw, (0, 0)])
+            # HIGHEST: full-f32 accumulation on TPU (the default conv
+            # precision there is bf16-based and drifts vs the CPU/TF
+            # float oracles; no-op on CPU)
             if op.opname == "CONV_2D":
                 acc = lax.conv_general_dilated(
                     x, jnp.asarray(w), stride, "VALID",
-                    dimension_numbers=("NHWC", "OHWI", "NHWC"))
+                    dimension_numbers=("NHWC", "OHWI", "NHWC"),
+                    precision=lax.Precision.HIGHEST)
             else:
                 c = w.shape[3]
                 rhs = jnp.asarray(np.transpose(w, (1, 2, 0, 3)))
                 acc = lax.conv_general_dilated(
                     x, rhs, stride, "VALID",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=c)
+                    feature_group_count=c,
+                    precision=lax.Precision.HIGHEST)
             env[o] = acc + jnp.asarray(b)
         elif op.opname == "LEAKY_RELU":
             v = env[op.inputs[0]]

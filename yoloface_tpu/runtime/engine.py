@@ -69,10 +69,10 @@ class Int8Engine:
         All modes are validated bit-exactly against their semantics twin
         ("fast" or "exact").
         """
-        if mode not in ("exact", "fast", "pallas", "pallas_exact",
+        if mode not in ("exact", "fast", "fast2", "pallas", "pallas_exact",
                         "pallas_fused", "pallas_fused_exact",
                         "pallas_arena", "pallas_arena_exact",
-                        "pallas_mxu", "pallas_mxu_exact"):
+                        "pallas_mxu", "pallas_mxu_exact", "pallas_mxu2"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.mode = mode
         self.graph = graph
@@ -106,13 +106,16 @@ class Int8Engine:
         elif mode.startswith("pallas_mxu"):
             from yoloface_tpu.kernels.pallas_arena import build_arena_plan
             self._plan = build_arena_plan(graph, exact=mode.endswith("exact"),
-                                          layout="whcn")
+                                          layout="whcn",
+                                          v2=(mode == "pallas_mxu2"))
         elif mode.startswith("pallas_fused"):
             from yoloface_tpu.kernels.pallas_fused import build_fused_plan
             self._plan = build_fused_plan(graph, exact=mode.endswith("exact"))
         elif mode.startswith("pallas"):
             from yoloface_tpu.runtime.pallas_plan import build_pallas_plan
             self._plan = build_pallas_plan(graph, exact=mode.endswith("exact"))
+        elif mode == "fast2":
+            self._plan = self._lower_ops_fast2()
         else:
             self._plan = [self._lower_op(op) for op in graph.ops]
         self._jit_cache: Dict[int, Callable] = {}
@@ -357,6 +360,78 @@ class Int8Engine:
 
         fn.out_idx = out_idx  # type: ignore[attr-defined]
         return fn
+
+    def _lower_ops_fast2(self):
+        """fast2 plan: single-rounding fused conv+leaky pairs (the
+        reference's one-rounding LUT epilogue semantics,
+        network.c:2900-2921), everything else the "fast" lowering.  Kept
+        in elementwise lockstep with the arena v2 epilogue
+        (kernels/pallas_int8.apply_requant_leaky) so pallas_mxu2 is
+        bit-identical to fast2."""
+        from collections import Counter
+
+        from yoloface_tpu.ops import int8_fast2 as fast2_ops
+
+        g = self.graph
+        t = g.tensor
+        uses = Counter()
+        for op in g.ops:
+            for i in op.inputs:
+                if i >= 0:
+                    uses[i] += 1
+        for i in g.outputs:
+            uses[i] += 1
+        ops_by_out = {op.outputs[0]: op for op in g.ops}
+        fused, absorbed = {}, set()
+        for op in g.ops:
+            if op.opname != "LEAKY_RELU":
+                continue
+            src = ops_by_out.get(op.inputs[0])
+            if (src is not None
+                    and src.opname in ("CONV_2D", "DEPTHWISE_CONV_2D")
+                    and uses[op.inputs[0]] == 1):
+                fused[src.index] = op
+                absorbed.add(op.index)
+
+        plan = []
+        for op in g.ops:
+            if op.index in absorbed:
+                continue
+            leaky_op = fused.get(op.index)
+            if leaky_op is None:
+                plan.append(self._lower_op(op))
+                continue
+            _check_no_dilation(op)
+            x_idx, w_idx, b_idx = op.inputs
+            w, b = t(w_idx), t(b_idx)
+            conv_q = t(op.outputs[0]).qparams
+            in_q = t(x_idx).qparams
+            out_q = t(leaky_op.outputs[0]).qparams
+            # identical f64 -> f32 constant derivations as the arena's
+            # _requant_spec / _leaky_spec, for bit-lockstep
+            eff = (np.float64(in_q.scale)
+                   * np.asarray(w.qparams.scales, np.float64)
+                   / np.float64(conv_q.scale))
+            ratio = np.float64(conv_q.scale) / np.float64(out_q.scale)
+            alpha = np.float64(leaky_op.attrs["alpha"])
+            kw = dict(
+                weights=w.data, bias=b.data.astype(np.int32),
+                input_zp=in_q.zero_point, conv_zp=conv_q.zero_point,
+                out_zp=out_q.zero_point, scale=eff.astype(np.float32),
+                s_id=float(ratio), s_al=float(ratio * alpha),
+                stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
+                padding=op.attrs["padding"],
+            )
+            impl = (fast2_ops.conv2d_leaky_int8_fast2
+                    if op.opname == "CONV_2D"
+                    else fast2_ops.depthwise_conv2d_leaky_int8_fast2)
+
+            def fn(env, x_idx=x_idx, impl=impl, kw=kw):
+                return impl(env[x_idx], **kw)
+
+            fn.out_idx = leaky_op.outputs[0]  # type: ignore[attr-defined]
+            plan.append(fn)
+        return plan
 
     # ------------------------------------------------------------ execution
     def _forward(self, x, collect: bool = False):
