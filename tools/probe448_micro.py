@@ -30,13 +30,16 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.integers(-128, 128, (W, H, C, NT)).astype(np.int8)
     w8 = rng.integers(-127, 128, (8, C)).astype(np.int8)
+    x = jax.device_put(x)
+    w8 = jax.device_put(w8)
 
     def timeit(name, f, *a):
-        y = jax.jit(f)(*a)
+        jf = jax.jit(f)
+        y = jf(*a)
         np.asarray(jax.tree.leaves(y)[0]).ravel()[0]
         t0 = time.perf_counter()
         for _ in range(20):
-            y = jax.jit(f)(*a)
+            y = jf(*a)
         np.asarray(jax.tree.leaves(y)[0]).ravel()[0]
         print(f"{name:>28s}: {(time.perf_counter()-t0)/20*1e3:7.3f} ms",
               flush=True)
@@ -114,5 +117,101 @@ def main():
         print("C 3D dot: FAIL:", str(e).splitlines()[0][:160], flush=True)
 
 
+def main2():
+    """B2: chunked fori (one dynamic chunk read, static inner slices,
+    unrolled dots per chunk) and D: fully unrolled grid-step chunking."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import time
+
+    NT = 128
+    W, H, C = 32, 224, 8
+    CH = 16                                       # h-chunk
+    rng = np.random.default_rng(0)
+    x = rng.integers(-128, 128, (W, H, C, NT)).astype(np.int8)
+    w8 = rng.integers(-127, 128, (8, C)).astype(np.int8)
+    want = np.einsum("oc,whcn->whon", w8.astype(np.int32),
+                     x.astype(np.int32)).astype(np.int8)
+    x = jax.device_put(x)
+    w8 = jax.device_put(w8)
+
+    def timeit(name, f, *a):
+        jf = jax.jit(f)
+        y = jf(*a)
+        np.asarray(jax.tree.leaves(y)[0]).ravel()[0]
+        t0 = time.perf_counter()
+        for _ in range(20):
+            y = jf(*a)
+        np.asarray(jax.tree.leaves(y)[0]).ravel()[0]
+        print(f"{name:>28s}: {(time.perf_counter()-t0)/20*1e3:7.3f} ms",
+              flush=True)
+
+    def kB2(x_ref, w_ref, o_ref):
+        wv = w_ref[:]
+
+        def body(hc, _):
+            h0 = hc * CH
+            chunk = x_ref[:, pl.ds(h0, CH), :, :]     # [W,CH,C,NT]
+            outs = []
+            for wp in range(W):
+                for hh in range(CH):
+                    d = lax.dot_general(wv, chunk[wp, hh],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                    outs.append(d)
+            acc = jnp.stack(outs, 0).reshape(W, CH, 8, NT)
+            o_ref[:, pl.ds(h0, CH), :, :] = acc.astype(jnp.int8)
+            return 0
+
+        lax.fori_loop(0, H // CH, body, 0)
+
+    try:
+        f = pl.pallas_call(
+            kB2, out_shape=jax.ShapeDtypeStruct((W, H, 8, NT), jnp.int8))
+        y = np.asarray(jax.jit(f)(x, w8))
+        print("B2 chunked fori:",
+              "OK bit-exact" if np.array_equal(y, want) else "WRONG",
+              flush=True)
+        timeit("B2 chunked fori", f, x, w8)
+    except Exception as e:
+        print("B2: FAIL:", str(e).splitlines()[0][:160], flush=True)
+
+    # D: 2D grid over h-chunks, fully static kernel
+    def kD(x_ref, w_ref, o_ref):
+        wv = w_ref[:]
+        chunk = x_ref[:]                              # [W,CH,C,NT] block
+        outs = []
+        for wp in range(W):
+            for hh in range(CH):
+                d = lax.dot_general(wv, chunk[wp, hh],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                outs.append(d)
+        o_ref[:] = jnp.stack(outs, 0).reshape(W, CH, 8, NT).astype(jnp.int8)
+
+    try:
+        f = pl.pallas_call(
+            kD,
+            grid=(H // CH,),
+            in_specs=[pl.BlockSpec((W, CH, C, NT), lambda i: (0, i, 0, 0)),
+                      pl.BlockSpec((8, C), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((W, CH, 8, NT), lambda i: (0, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((W, H, 8, NT), jnp.int8))
+        y = np.asarray(jax.jit(f)(x, w8))
+        print("D grid-chunk static:",
+              "OK bit-exact" if np.array_equal(y, want) else "WRONG",
+              flush=True)
+        timeit("D grid-chunk static", f, x, w8)
+    except Exception as e:
+        print("D: FAIL:", str(e).splitlines()[0][:160], flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as s
+    if len(s.argv) > 1 and s.argv[1] == "2":
+        main2()
+    else:
+        main()
