@@ -13,9 +13,11 @@ whose host fetch is the per-iteration sync point.  (Round-1 methodology
 generated frames with in-jit RNG each step; that Threefry pass alone cost
 ~40 ms @32k and diluted the pipeline number — now hoisted out.)
 
-The flagship serving mode is ``pallas_mxu`` — the WHCN activation-arena
-Pallas lowering (MXU 1x1 convs, in-kernel preprocess, threshold-first
-head).  ``fast`` (stock XLA ops) and ``pallas_arena`` (CWHN arena) are
+The flagship serving mode is ``pallas_mxu2`` — the WHCN activation-arena
+Pallas lowering (MXU 1x1 convs, in-kernel preprocess, one-kernel fused
+head) with the fast-bits-v2 single-rounding epilogue (closer to the
+float ideal than fast/exact; see ops/int8_fast2.py).  ``fast`` (stock
+XLA ops), ``pallas_mxu`` (v1 bits) and ``pallas_mxu_exact`` are
 benchmarked alongside so BENCH_r*.json pins the framework-kernels-vs-XLA
 comparison in hardware; a mode that fails to compile FAILS the benchmark
 (no silent fallback).
@@ -40,11 +42,11 @@ import numpy as np
 
 BASELINE_FPS = 50_000.0
 TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
-FLAGSHIP = os.environ.get("BENCH_MODE", "pallas_mxu")
+FLAGSHIP = os.environ.get("BENCH_MODE", "pallas_mxu2")
 # exact-bits flagship included so deploy-validation perf regressions are
 # caught by the driver artifact, not prose (VERDICT r2 weak #6)
 EXTRA_MODES = os.environ.get("BENCH_EXTRA_MODES",
-                             "fast,pallas_arena,pallas_mxu_exact").split(",")
+                             "fast,pallas_mxu,pallas_mxu_exact").split(",")
 
 
 def main():

@@ -141,3 +141,26 @@ def test_mbqm_bounded_matches_limb_path():
     ref = np.array([mbqm_ref(int(x), int(q), int(s))
                     for x, q, s in zip(xs, qms, shifts)], dtype=np.int32)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_bounded_preshift_matches_limb_composition():
+    """MBQM(x << 20, qm, sh) via the 2-multiply pre-shift bounded path is
+    bit-exact vs the limb composition over the whole exact-ADD input
+    contract (|x| <= 511, multipliers in (0, 0.5], sh <= 0)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from yoloface_tpu.core.fixedpoint import (
+        multiply_by_quantized_multiplier,
+        multiply_by_quantized_multiplier_bounded_preshift,
+        quantize_multiplier)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(np.arange(-511, 512, dtype=np.int32))
+    for _ in range(50):
+        qm, sh = quantize_multiplier(float(rng.uniform(0.01, 0.5)))
+        assert sh <= 0
+        want = np.asarray(multiply_by_quantized_multiplier(
+            xs << 20, jnp.int32(qm), jnp.int32(sh)))
+        got = np.asarray(multiply_by_quantized_multiplier_bounded_preshift(
+            xs, jnp.int32(qm), jnp.int32(sh), 20))
+        np.testing.assert_array_equal(got, want)

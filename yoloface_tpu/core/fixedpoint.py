@@ -36,6 +36,7 @@ __all__ = [
     "rounding_divide_by_pot",
     "multiply_by_quantized_multiplier",
     "multiply_by_quantized_multiplier_bounded",
+    "multiply_by_quantized_multiplier_bounded_preshift",
     "BOUNDED_MAX_ABS",
 ]
 
@@ -177,8 +178,61 @@ def multiply_by_quantized_multiplier_bounded(x, qm, shift):
     nudge = (jnp.uint32(1) << (e - jnp.uint32(1))) - neg.astype(jnp.uint32)
     lo2 = lo + nudge
     hi2 = hi + (lo2 < lo).astype(jnp.uint32)
-    mag = ((hi2 << (jnp.uint32(32) - e)) | (lo2 >> e)).astype(jnp.int32)
-    return rounding_divide_by_pot(jnp.where(neg, -mag, mag), right)
+    mag = (hi2 << (jnp.uint32(32) - e)) | (lo2 >> e)
+    # RoundingDivideByPOT folded onto the magnitude: half-away-from-zero
+    # is odd-symmetric, so RDivPOT(±mag, right) == ±((mag + h) >> right)
+    # with h = 2**(right-1) (0 when right == 0) — saves the separate
+    # signed mask/threshold chain AND the extra negate pass
+    ur = right.astype(jnp.uint32)
+    h = (jnp.uint32(1) << ur) >> 1
+    mag2 = ((mag + h) >> ur).astype(jnp.int32)
+    return jnp.where(neg, -mag2, mag2)
+
+
+def multiply_by_quantized_multiplier_bounded_preshift(x, qm, shift, pre):
+    """Bit-exact ``MBQM(x << pre, qm, shift)`` for small |x|.
+
+    The exact int8 ADD (`ops/int8_ref.add_int8`, TFLite semantics) amplifies
+    both inputs by ``1 << 20`` before their rescale MBQMs; the shifted value
+    (~2**28.6) exceeds :data:`BOUNDED_MAX_ABS`, forcing the 4-multiply limb
+    path (ROADMAP r2 gap 6).  This variant keeps the 2-multiply bounded
+    machinery by folding the pre-shift into the product assembly instead:
+    P0 = |x|*qm is recovered exactly (one u32 multiply for the low word,
+    one f32 multiply for the high word — |x| < 2**10 keeps the f32 error
+    ~2**18, far under the 2**30 rounding threshold), then p = P0 << pre is
+    assembled in (hi, lo) words.  Requires |x| < 2**10, 0 < pre <= 20,
+    and shift <= 0 (true for the ADD's input rescales: s_i/(2*max) <= 0.5).
+    """
+    x = jnp.asarray(x, jnp.int32)
+    qm = jnp.asarray(qm, jnp.int32)
+    shift = jnp.asarray(shift, jnp.int32)
+    right = jnp.maximum(-shift, 0)
+    upre = jnp.uint32(pre)
+
+    neg = x < 0
+    ua_i = jnp.where(neg, -x, x)                      # |x| < 2**10
+    ua = ua_i.astype(jnp.uint32)
+    ub = qm.astype(jnp.uint32)
+
+    lo0 = ua * ub                                     # P0 mod 2**32
+    approx = ua_i.astype(jnp.float32) * qm.astype(jnp.float32)
+    lo_top2 = (lo0 >> 30).astype(jnp.int32).astype(jnp.float32)
+    hi0 = jnp.round(approx * jnp.float32(2.0 ** -32)
+                    - lo_top2 * jnp.float32(0.25)).astype(jnp.int32) \
+            .astype(jnp.uint32)                       # P0 >> 32 (exact)
+
+    hi = (hi0 << upre) | (lo0 >> (jnp.uint32(32) - upre))
+    lo = lo0 << upre                                  # p = P0 << pre
+
+    e = jnp.uint32(31)                                # shift <= 0: no left
+    nudge = (jnp.uint32(1) << (e - jnp.uint32(1))) - neg.astype(jnp.uint32)
+    lo2 = lo + nudge
+    hi2 = hi + (lo2 < lo).astype(jnp.uint32)
+    mag = (hi2 << (jnp.uint32(32) - e)) | (lo2 >> e)
+    ur = right.astype(jnp.uint32)
+    h = (jnp.uint32(1) << ur) >> 1
+    mag2 = ((mag + h) >> ur).astype(jnp.int32)
+    return jnp.where(neg, -mag2, mag2)
 
 
 def multiply_by_quantized_multiplier(x, qm, shift):

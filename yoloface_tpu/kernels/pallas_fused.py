@@ -413,12 +413,12 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                 va = env[a_idx].astype(jnp.int32) - spec["zp1"]
                 vb = env[b_idx].astype(jnp.int32) - spec["zp2"]
                 if spec["exact"]:
-                    va = va << spec["left_shift"]
-                    vb = vb << spec["left_shift"]
-                    sa = multiply_by_quantized_multiplier(
-                        va, jnp.int32(spec["qm1"]), jnp.int32(spec["sh1"]))
-                    sb = multiply_by_quantized_multiplier(
-                        vb, jnp.int32(spec["qm2"]), jnp.int32(spec["sh2"]))
+                    from yoloface_tpu.kernels.pallas_int8 import \
+                        exact_add_rescale
+                    sa = exact_add_rescale(va, spec["qm1"], spec["sh1"],
+                                           spec["left_shift"])
+                    sb = exact_add_rescale(vb, spec["qm2"], spec["sh2"],
+                                           spec["left_shift"])
                     o = multiply_by_quantized_multiplier(
                         sa + sb, jnp.int32(spec["qmo"]),
                         jnp.int32(spec["sho"]))

@@ -158,6 +158,21 @@ class LeakySpec:
         return jnp.clip(out + self.zp_out, -128, 127).astype(jnp.int8)
 
 
+def exact_add_rescale(v_i32, qm: int, sh: int, left_shift: int):
+    """The exact ADD's input rescale MBQM(v << left_shift, qm, sh): the
+    2-multiply pre-shift bounded path when sh <= 0 (always true for the
+    TFLite ADD input multipliers s_i/(2*max) <= 0.5), limb fallback
+    otherwise.  Bit-exact either way (property-tested)."""
+    from yoloface_tpu.core.fixedpoint import (
+        multiply_by_quantized_multiplier,
+        multiply_by_quantized_multiplier_bounded_preshift)
+    if sh <= 0:
+        return multiply_by_quantized_multiplier_bounded_preshift(
+            v_i32, jnp.int32(qm), jnp.int32(sh), left_shift)
+    return multiply_by_quantized_multiplier(
+        v_i32 << left_shift, jnp.int32(qm), jnp.int32(sh))
+
+
 def acc_bound(abs_w_sum: np.ndarray, bias_eff: np.ndarray) -> int:
     """Static per-layer |int32 accumulator| bound for a conv: max over
     output channels of 128 * sum(|w_c|) + |bias_eff_c|.  Gates the
@@ -626,12 +641,10 @@ def add_int8(a, b, spec: dict, nt: Optional[int] = None):
         va = ar[:].astype(jnp.int32) - spec["zp1"]
         vb = br_[:].astype(jnp.int32) - spec["zp2"]
         if exact:
-            va <<= spec["left_shift"]
-            vb <<= spec["left_shift"]
-            sa = multiply_by_quantized_multiplier(
-                va, jnp.int32(spec["qm1"]), jnp.int32(spec["sh1"]))
-            sb = multiply_by_quantized_multiplier(
-                vb, jnp.int32(spec["qm2"]), jnp.int32(spec["sh2"]))
+            sa = exact_add_rescale(va, spec["qm1"], spec["sh1"],
+                                   spec["left_shift"])
+            sb = exact_add_rescale(vb, spec["qm2"], spec["sh2"],
+                                   spec["left_shift"])
             out = multiply_by_quantized_multiplier(
                 sa + sb, jnp.int32(spec["qmo"]), jnp.int32(spec["sho"]))
         else:

@@ -189,10 +189,22 @@ def add_int8(
     """TFLite quantized ADD (int8): both inputs are rescaled to a shared
     (1 << left_shift)-amplified scale, summed, then requantized.  Matches
     the reference's ``forward_eltwise_integer_INT8``."""
-    v1 = (x1.astype(jnp.int32) - jnp.int32(zp1)) << left_shift
-    v2 = (x2.astype(jnp.int32) - jnp.int32(zp2)) << left_shift
-    s1 = multiply_by_quantized_multiplier(v1, jnp.int32(qm1), jnp.int32(shift1))
-    s2 = multiply_by_quantized_multiplier(v2, jnp.int32(qm2), jnp.int32(shift2))
+    from yoloface_tpu.core.fixedpoint import (
+        multiply_by_quantized_multiplier_bounded_preshift as _mbqm_pre)
+    v1 = x1.astype(jnp.int32) - jnp.int32(zp1)
+    v2 = x2.astype(jnp.int32) - jnp.int32(zp2)
+    if shift1 <= 0 and shift2 <= 0:
+        # |v_i| <= 255+|zp| < 2**10 and the rescale shifts are <= 0 (the
+        # multipliers are s_i/(2*max) <= 0.5): the 2-multiply pre-shift
+        # bounded MBQM applies, bit-exactly (property-tested vs the limb
+        # composition) — ROADMAP r2 gap 6
+        s1 = _mbqm_pre(v1, jnp.int32(qm1), jnp.int32(shift1), left_shift)
+        s2 = _mbqm_pre(v2, jnp.int32(qm2), jnp.int32(shift2), left_shift)
+    else:
+        s1 = multiply_by_quantized_multiplier(
+            v1 << left_shift, jnp.int32(qm1), jnp.int32(shift1))
+        s2 = multiply_by_quantized_multiplier(
+            v2 << left_shift, jnp.int32(qm2), jnp.int32(shift2))
     out = multiply_by_quantized_multiplier(
         s1 + s2, jnp.int32(qm_out), jnp.int32(shift_out)) + jnp.int32(zp_out)
     return jnp.clip(out, act_min, act_max).astype(jnp.int8)

@@ -63,9 +63,13 @@ class Int8Engine:
           * "pallas_arena[_exact]" — fused stages over a static VMEM
             activation-arena of refs, CWHN layout (kernels/pallas_arena.py);
           * "pallas_mxu[_exact]" — the arena in WHCN layout (C in
-            sublanes): 1x1 convs run as true MXU matmuls.  The FLAGSHIP
-            serving mode — measured 1.3x faster than "fast" at batch 32k
-            on v5e (BENCH_r02).
+            sublanes): 1x1 convs run as true MXU matmuls;
+          * "fast2" / "pallas_mxu2" — fast-bits-v2: ONE rounding across
+            each fused conv+leaky pair (the reference's one-LUT epilogue
+            semantics, network.c:2900-2921; see ops/int8_fast2.py).
+            Closer to the float ideal than fast/exact AND the fastest —
+            pallas_mxu2 is the FLAGSHIP serving mode (24.1 ms net @32k
+            on v5e vs fast 37.7; bit-identical to its "fast2" XLA twin).
         All modes are validated bit-exactly against their semantics twin
         ("fast" or "exact").
         """
