@@ -219,8 +219,25 @@ def _strips(wo: int, co: int, h: int, exact: bool) -> List[Tuple[int, int]]:
 # --------------------------------------------------------------------------
 def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
     """(real input tensor, pads, fill) for a conv/pool input, absorbing an
-    upstream PAD op (darknet top-left pad) when the op consumes one."""
+    upstream PAD op (darknet top-left pad) when the op consumes one.
+
+    Two hooks used by the W-strip-tiled lowering (kernels/pallas_tiled.py),
+    both inert on ordinary graphs:
+      * ``graph._tiled_nowpad``: zero the W component of any pads — the
+        tiled stage supplies W context via halo windows + edge-strip fills,
+        so only the H pads go through the alloc-border machinery;
+      * ``graph._tiled_ext_nopad``: tensors pre-padded in HBM by the stage
+        wrapper (section inputs) — consumers read them with no pads at all.
+    """
     t = graph.tensor
+
+    def adjust(x_idx: int, pads: Pads, fill: int):
+        if x_idx in getattr(graph, "_tiled_ext_nopad", ()):
+            return x_idx, NOPAD, 0
+        if getattr(graph, "_tiled_nowpad", False):
+            pads = (NOPAD[0], pads[1])
+        return x_idx, (NOPAD if pads == NOPAD else pads), fill
+
     x_idx = op.inputs[0]
     producer = next((p for p in graph.ops
                      if p.outputs and p.outputs[0] == x_idx
@@ -229,7 +246,7 @@ def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
         p = t(producer.inputs[1]).data.astype(int)
         pads = ((int(p[2][0]), int(p[2][1])), (int(p[1][0]), int(p[1][1])))
         zp = t(producer.outputs[0]).qparams.zero_point
-        return producer.inputs[0], pads, zp
+        return adjust(producer.inputs[0], pads, zp)
     if op.attrs.get("padding") == "SAME":
         k_h = op.attrs.get("filter_h")
         k_w = op.attrs.get("filter_w")
@@ -242,15 +259,18 @@ def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
         if pads != NOPAD:
             fill = (-128 if op.opname == "MAX_POOL_2D"
                     else t(x_idx).qparams.zero_point)
-            return x_idx, pads, fill
+            return adjust(x_idx, pads, fill)
     return x_idx, NOPAD, 0
 
 
 def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
-                    v2: bool = False):
+                    v2: bool = False, ops: Optional[List] = None):
     """Returns (arena_ops, concat_alias) after absorbing LEAKY + PAD.
     ``v2`` selects the single-rounding fused conv+leaky epilogue (fast2
-    semantics; see ops/int8_fast2.py)."""
+    semantics; see ops/int8_fast2.py).  ``ops`` restricts lowering to a
+    subset of ``graph.ops`` (a section of the graph): fusion/absorption
+    only fires within the subset, while use counts stay global so a
+    tensor consumed outside the subset is never absorbed away."""
     from yoloface_tpu.runtime.pallas_plan import _leaky_spec, _requant_spec
     from yoloface_tpu.runtime.engine import _check_no_dilation
     from collections import Counter
@@ -258,6 +278,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
     L = layout
     CH = _ch_axis(L)
     t = graph.tensor
+    op_list = list(ops) if ops is not None else graph.ops
     uses = Counter()
     for op in graph.ops:
         for i in op.inputs:
@@ -266,9 +287,9 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
     for i in graph.outputs:
         uses[i] += 1
 
-    ops_by_out = {op.outputs[0]: op for op in graph.ops}
+    ops_by_out = {op.outputs[0]: op for op in op_list}
     fused_leaky, absorbed = {}, set()
-    for op in graph.ops:
+    for op in op_list:
         if op.opname == "LEAKY_RELU":
             src = ops_by_out.get(op.inputs[0])
             if (src is not None
@@ -282,7 +303,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
     # concat input -> (concat output, channel offset) for single-consumer
     # inputs produced by an op (aliasing resolved per stage)
     concat_alias: Dict[int, Tuple[int, int]] = {}
-    for op in graph.ops:
+    for op in op_list:
         if op.opname != "CONCATENATION":
             continue
         c0 = 0
@@ -292,7 +313,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
             c0 += t(i).shape[3]
 
     arena_ops: List[ArenaOp] = []
-    for op in graph.ops:
+    for op in op_list:
         if op.index in absorbed:
             continue
         name = op.opname
@@ -840,12 +861,14 @@ def _tensor_cwh(graph: GraphDef, i: int) -> Tuple[int, int, int]:
 def build_arena_plan(graph: GraphDef, exact: bool,
                      budget: Optional[int] = None,
                      layout: str = "cwhn",
-                     v2: bool = False) -> List[Callable]:
+                     v2: bool = False,
+                     ops: Optional[List] = None) -> List[Callable]:
     assert layout in ("cwhn", "whcn"), layout
     if budget is None:
         budget = (min(ARENA_BUDGET, _EXACT_BUDGET_CAP) if exact
                   else ARENA_BUDGET)
-    arena_ops, concat_alias = lower_arena_ops(graph, exact, layout, v2=v2)
+    arena_ops, concat_alias = lower_arena_ops(graph, exact, layout, v2=v2,
+                                              ops=ops)
     graph_outputs = set(graph.outputs)
 
     # greedy stage partition on estimated alloc bytes
