@@ -1,0 +1,84 @@
+"""W-strip tiled engine modes (kernels/pallas_tiled.py).
+
+Bit-parity of the tiled sections against the untiled semantics twins on a
+spatially-retargeted graph (graph/retarget.py), exercising every section
+kind: the im2col stem, per-scale chains, both pool+strided-dw transition
+pairs (two fill classes on one tensor), ADD / QUANTIZE / CONCATENATION
+elementwise sections, and the arena suffix.  Runs at retarget factor 2
+with a lowered plane threshold so CPU interpret stays fast; the hardware
+smoke (tools/tpu_smoke.py) covers the real 448 graph on the TPU.
+
+Reference role: the binary kernel library serving the scale variant
+(stm32 layers_conv2d.h:192 at yolov3_train_tf.py:31-32 resolutions).
+"""
+import numpy as np
+import pytest
+
+from yoloface_tpu.graph.retarget import retarget_spatial
+from yoloface_tpu.io.tflite_import import load_tflite
+from yoloface_tpu.runtime.engine import Int8Engine
+
+TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
+
+
+@pytest.fixture(scope="module")
+def g2(monkeypatch_module=None):
+    return retarget_spatial(load_tflite(TFLITE), 2)
+
+
+def _lower_threshold(monkeypatch):
+    import yoloface_tpu.kernels.pallas_tiled as pt
+    monkeypatch.setattr(pt, "TILE_THRESHOLD", 1_500_000)
+    # 2 strips keep the interpret-mode grid emulation (and its XLA CPU
+    # compile) small; the hardware smoke runs the real strip counts
+    monkeypatch.setattr(pt, "_NW_CAP", 2)
+
+
+def test_split_structure(g2, monkeypatch):
+    _lower_threshold(monkeypatch)
+    from yoloface_tpu.kernels.pallas_tiled import plan_tiled_split
+    sections, suffix = plan_tiled_split(g2)
+    idx = [[op.index for op in s] for s in sections]
+    # stem / 2x-scale chain / pool+dw transition / 1x-scale chain with
+    # ADD+QUANTIZE+CONCAT / second transition pair
+    assert idx[0] == [0, 1, 2]
+    assert idx[1] == [3, 4, 5, 6, 7]
+    assert idx[2] == [8, 9, 10, 11]
+    assert 18 in idx[3] and 21 in idx[3] and 22 in idx[3]
+    assert idx[4][0] == 25
+    assert suffix and suffix[0].index == idx[4][-1] + 1
+    # transition sections carry two fill classes on the shared input
+    from yoloface_tpu.kernels.pallas_tiled import _lower_section
+    sec = _lower_section(g2, sections[2], exact=False, v2=False,
+                         later_needs={op.outputs[0]
+                                      for op in g2.ops})
+    t7 = sections[2][0].inputs[0]
+    assert len(sec.views[t7]) == 2
+    assert {v.fill for v in sec.views[t7]} == {-128,
+                                               g2.tensor(t7).qparams
+                                               .zero_point}
+
+
+@pytest.mark.parametrize("mode,twin", [("pallas_tiled2", "fast2"),
+                                       ("pallas_tiled_exact", "exact")])
+def test_tiled_bit_parity(g2, monkeypatch, mode, twin):
+    _lower_threshold(monkeypatch)
+    rng = np.random.default_rng(0)
+    x = rng.integers(-128, 128, (2, 112, 112, 3)).astype(np.int8)
+    ref = np.asarray(Int8Engine(g2, mode=twin)(x))
+    out = np.asarray(Int8Engine(g2, mode=mode)(x))
+    assert np.array_equal(ref, out)
+
+
+def test_small_graph_falls_back_to_arena():
+    g = load_tflite(TFLITE)
+    from yoloface_tpu.kernels.pallas_tiled import (build_tiled_plan,
+                                                   plan_tiled_split)
+    sections, suffix = plan_tiled_split(g)
+    assert sections == [] and len(suffix) == len(g.ops)
+    # the plan IS the arena plan (same stage count and outputs); the arena
+    # modes' own parity tests cover its numerics
+    from yoloface_tpu.kernels.pallas_arena import build_arena_plan
+    tiled = build_tiled_plan(g, exact=False)
+    arena = build_arena_plan(g, exact=False, layout="whcn")
+    assert [f.out_idx for f in tiled] == [f.out_idx for f in arena]

@@ -76,7 +76,9 @@ class Int8Engine:
         if mode not in ("exact", "fast", "fast2", "pallas", "pallas_exact",
                         "pallas_fused", "pallas_fused_exact",
                         "pallas_arena", "pallas_arena_exact",
-                        "pallas_mxu", "pallas_mxu_exact", "pallas_mxu2"):
+                        "pallas_mxu", "pallas_mxu_exact", "pallas_mxu2",
+                        "pallas_tiled", "pallas_tiled_exact",
+                        "pallas_tiled2"):
             raise ValueError(f"unknown engine mode {mode!r}")
         self.mode = mode
         self.graph = graph
@@ -100,11 +102,20 @@ class Int8Engine:
         self.input_shape = tuple(in_t.shape[1:])  # without batch
         # layout of the pallas activation tensors + the NHWC<->layout perms
         # ([N,H,W,C] in; CWHN = [C,W,H,N]; WHCN = [W,H,C,N])
-        if mode.startswith("pallas_mxu"):
+        if mode.startswith(("pallas_mxu", "pallas_tiled")):
             self._perm_in, self._perm_out = (2, 1, 3, 0), (3, 1, 0, 2)
         else:
             self._perm_in = self._perm_out = (3, 2, 1, 0)
-        if mode.startswith("pallas_arena"):
+        if mode.startswith("pallas_tiled"):
+            # W-strip tiled sections for big-plane (retargeted-scale)
+            # graphs + arena stages for the small-plane suffix
+            # (kernels/pallas_tiled.py); falls back to the plain arena on
+            # small graphs.  Bits: tiled==fast, tiled2==fast2, _exact.
+            from yoloface_tpu.kernels.pallas_tiled import build_tiled_plan
+            self._plan = build_tiled_plan(graph,
+                                          exact=mode.endswith("exact"),
+                                          v2=(mode == "pallas_tiled2"))
+        elif mode.startswith("pallas_arena"):
             from yoloface_tpu.kernels.pallas_arena import build_arena_plan
             self._plan = build_arena_plan(graph, exact=mode.endswith("exact"))
         elif mode.startswith("pallas_mxu"):
