@@ -29,9 +29,15 @@ def g2(monkeypatch_module=None):
 def _lower_threshold(monkeypatch):
     import yoloface_tpu.kernels.pallas_tiled as pt
     monkeypatch.setattr(pt, "TILE_THRESHOLD", 1_500_000)
-    # 2 strips keep the interpret-mode grid emulation (and its XLA CPU
-    # compile) small; the hardware smoke runs the real strip counts
+    # pin NW=2: small strips bound the per-chunk unrolling (XLA CPU
+    # compile time) while still exercising both edge-strip fill paths;
+    # the hardware smoke runs the real strip counts.  _VMEM_TARGET=1
+    # forces the fallback largest-NW rule under the cap.
     monkeypatch.setattr(pt, "_NW_CAP", 2)
+    monkeypatch.setattr(pt, "_VMEM_TARGET", 1)
+    # small H chunks cut the per-chunk dot unrolling ~4x (compile time
+    # dominates these CPU-interpret runs)
+    monkeypatch.setattr(pt, "_CHUNK_TARGET", 1 << 20)
 
 
 def test_split_structure(g2, monkeypatch):
@@ -39,20 +45,21 @@ def test_split_structure(g2, monkeypatch):
     from yoloface_tpu.kernels.pallas_tiled import plan_tiled_split
     sections, suffix = plan_tiled_split(g2)
     idx = [[op.index for op in s] for s in sections]
-    # stem / 2x-scale chain / pool+dw transition / 1x-scale chain with
-    # ADD+QUANTIZE+CONCAT / second transition pair
+    # stem / 2x-scale chain WITH its absorbed pool+dw transitions
+    # (shallow-producer merge) / 1x-scale chain with ADD+QUANTIZE+CONCAT
+    # / second transition pair (NOT merged: the 13-op chain is deep)
     assert idx[0] == [0, 1, 2]
-    assert idx[1] == [3, 4, 5, 6, 7]
-    assert idx[2] == [8, 9, 10, 11]
-    assert 18 in idx[3] and 21 in idx[3] and 22 in idx[3]
-    assert idx[4][0] == 25
-    assert suffix and suffix[0].index == idx[4][-1] + 1
-    # transition sections carry two fill classes on the shared input
+    assert idx[1] == [3, 4, 5, 6, 7, 8, 9, 10, 11]
+    assert 18 in idx[2] and 21 in idx[2] and 22 in idx[2]
+    assert idx[3][0] == 25
+    assert suffix and suffix[0].index == idx[3][-1] + 1
+    # the merged transition's shared input carries two fill classes
+    # (maxpool -128 vs the zero-point-padded strided dw)
     from yoloface_tpu.kernels.pallas_tiled import _lower_section
-    sec = _lower_section(g2, sections[2], exact=False, v2=False,
+    sec = _lower_section(g2, sections[1], exact=False, v2=False,
                          later_needs={op.outputs[0]
                                       for op in g2.ops})
-    t7 = sections[2][0].inputs[0]
+    t7 = next(op for op in g2.ops if op.index == 8).inputs[0]
     assert len(sec.views[t7]) == 2
     assert {v.fill for v in sec.views[t7]} == {-128,
                                                g2.tensor(t7).qparams

@@ -220,24 +220,8 @@ def _strips(wo: int, co: int, h: int, exact: bool) -> List[Tuple[int, int]]:
 def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
     """(real input tensor, pads, fill) for a conv/pool input, absorbing an
     upstream PAD op (darknet top-left pad) when the op consumes one.
-
-    Two hooks used by the W-strip-tiled lowering (kernels/pallas_tiled.py),
-    both inert on ordinary graphs:
-      * ``graph._tiled_nowpad``: zero the W component of any pads — the
-        tiled stage supplies W context via halo windows + edge-strip fills,
-        so only the H pads go through the alloc-border machinery;
-      * ``graph._tiled_ext_nopad``: tensors pre-padded in HBM by the stage
-        wrapper (section inputs) — consumers read them with no pads at all.
-    """
+    Shared with the W-strip-tiled lowering (kernels/pallas_tiled.py)."""
     t = graph.tensor
-
-    def adjust(x_idx: int, pads: Pads, fill: int):
-        if x_idx in getattr(graph, "_tiled_ext_nopad", ()):
-            return x_idx, NOPAD, 0
-        if getattr(graph, "_tiled_nowpad", False):
-            pads = (NOPAD[0], pads[1])
-        return x_idx, (NOPAD if pads == NOPAD else pads), fill
-
     x_idx = op.inputs[0]
     producer = next((p for p in graph.ops
                      if p.outputs and p.outputs[0] == x_idx
@@ -246,7 +230,7 @@ def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
         p = t(producer.inputs[1]).data.astype(int)
         pads = ((int(p[2][0]), int(p[2][1])), (int(p[1][0]), int(p[1][1])))
         zp = t(producer.outputs[0]).qparams.zero_point
-        return adjust(producer.inputs[0], pads, zp)
+        return producer.inputs[0], pads, zp
     if op.attrs.get("padding") == "SAME":
         k_h = op.attrs.get("filter_h")
         k_w = op.attrs.get("filter_w")
@@ -259,7 +243,7 @@ def _input_req(graph: GraphDef, op) -> Tuple[int, Pads, int]:
         if pads != NOPAD:
             fill = (-128 if op.opname == "MAX_POOL_2D"
                     else t(x_idx).qparams.zero_point)
-            return adjust(x_idx, pads, fill)
+            return x_idx, pads, fill
     return x_idx, NOPAD, 0
 
 

@@ -64,9 +64,16 @@ from yoloface_tpu.kernels.pallas_int8 import (_interpret_mode,
 # below it the untiled arena handles the suffix
 TILE_THRESHOLD = int(os.environ.get("YOLOFACE_TPU_TILE_THRESHOLD",
                                     20 * 1024 * 1024))
-# W strips per tiled section: largest power of two <= cap with all core
-# strip widths integral and >= 7
+# W strips per tiled section: smallest power of two (<= cap) whose VMEM
+# estimate fits the target — fewer strips mean less halo recompute
 _NW_CAP = int(os.environ.get("YOLOFACE_TPU_TILE_NW", 16))
+_VMEM_TARGET = int(os.environ.get("YOLOFACE_TPU_TILE_VMEM", 64 << 20))
+# a strided transition pair merges into the section producing its input
+# when that section is shallow (halo recompute stays bounded); deeper
+# chains keep transitions separate — measured: merging pool8+dw10 into
+# the 3-op 224 chain wins, merging pool25+dw27 into the 13-op 112 chain
+# would 1.9x the whole chain's recompute
+_MERGE_MAX_MAINS = int(os.environ.get("YOLOFACE_TPU_TILE_MERGE", 3))
 # live int32 accumulator bytes bound for the H-chunk size
 _CHUNK_TARGET = int(os.environ.get("YOLOFACE_TPU_TILE_CHUNK", 16 << 20))
 
@@ -144,6 +151,8 @@ def plan_tiled_split(graph: GraphDef):
     suffix: List = []
     cur: List = []
     cur_scale = None
+    cur_mains = 0
+    cur_outs: set = set()
     prev_strided_x = None
     for k, main in enumerate(mains):
         if k > last_big:
@@ -157,13 +166,24 @@ def plan_tiled_split(graph: GraphDef):
             x_idx = main.inputs[0]
         scale = int(t(x_idx).shape[2])
         strided = main.attrs.get("stride_h", 1) > 1
-        cut = bool(cur) and (
-            (strided and prev_strided_x != x_idx)
-            or (not strided and scale != cur_scale))
+        if strided:
+            # absorb the transition into a SHALLOW producing section (its
+            # input stays VMEM-resident: no HBM re-read, no re-widen);
+            # consecutive strided ops sharing one input always group
+            cut = bool(cur) and not (
+                prev_strided_x == x_idx
+                or (x_idx in cur_outs and cur_mains <= _MERGE_MAX_MAINS))
+        else:
+            cut = bool(cur) and scale != cur_scale
         if cut:
             sections.append(cur)
             cur = []
+            cur_mains = 0
+            cur_outs = set()
         cur.extend(sorted(members[main.index], key=lambda o: o.index))
+        cur_mains += 1
+        cur_outs.update(o for op in members[main.index]
+                        for o in op.outputs)
         if not strided or cur_scale is None:
             cur_scale = scale
         prev_strided_x = x_idx if strided else None
@@ -591,6 +611,7 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
     # deferred emit builders: (out_idx, operands, build(sec) -> emit)
     pending: List[Tuple[int, List, Callable]] = []
     im2col_slots = [0]
+    im2col_meta: List[Tuple[int, int, int, int, int]] = []
 
     for op in sec_ops:
         if op.index in owner and owner[op.index] in sec_idx:
@@ -647,6 +668,7 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 slot = im2col_slots[0]
                 im2col_slots[0] += 1
+                im2col_meta.append((x_idx, out_idx, kh, kw_, ci))
                 consumers.append((out_idx, x_idx, stride, pl_w, kw_,
                                   ph0, ph1, fill))
 
@@ -840,26 +862,6 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
     for i in sec.outputs:
         sec.views.setdefault(i, [])
 
-    # strip geometry: largest NW with every W divisible and cores >= 7
-    ws_all = [sec.cwh[i][1] for i in all_tensors]
-    nw = 1
-    cand = _NW_CAP
-    while cand > 1:
-        if all(w % cand == 0 and w // cand >= 7 for w in ws_all):
-            nw = cand
-            break
-        cand //= 2
-    sec.nw = nw
-    for i in all_tensors:
-        sec.ws[i] = sec.cwh[i][1] // nw
-        # edge fills only run on the extreme strips: halos must not reach
-        # past the neighbouring strip
-        li, ri = sec.ext[i]
-        if li > sec.ws[i] or ri > sec.ws[i]:
-            raise NotImplementedError(
-                f"tiled plan: tensor {i} halo ({li},{ri}) exceeds its "
-                f"strip width {sec.ws[i]} (NW={nw})")
-
     # DMA'd inputs: pad channels for copy alignment.  Mosaic requires HBM
     # slice extents on the sublane dim aligned to the (8,128) tiling; a
     # whole-extent slice of a <=4-channel array also lowers (the probe's
@@ -867,6 +869,56 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
     for i in sec.inputs:
         c = sec.cwh[i][0]
         sec.cpad[i] = 4 if c <= 4 else -(-c // 8) * 8
+
+    # strip geometry: SMALLEST power-of-two NW whose VMEM estimate fits
+    # the target (fewer strips -> less halo recompute and fewer DMAs),
+    # subject to divisibility and halo <= strip width (edge fills only
+    # run on the extreme strips)
+    ws_all = [sec.cwh[i][1] for i in all_tensors]
+
+    def fits(nw: int) -> bool:
+        if not all(w % nw == 0 for w in ws_all):
+            return False
+        for i in all_tensors:
+            li, ri = sec.ext[i]
+            if li > sec.cwh[i][1] // nw or ri > sec.cwh[i][1] // nw:
+                return False
+        tot = 0
+        for tensor, vl in sec.views.items():
+            c, w, h = sec.cwh[tensor]
+            c = sec.cpad.get(tensor, c)
+            for v in vl:
+                tot += v.wl(w // nw) * v.hp(h) * c * NT
+        for (x_idx, out_idx, kh, kw_, ci) in im2col_meta:
+            Li, Ri = sec.ext[out_idx]
+            _, w, h = sec.cwh[out_idx]
+            c_eff = sec.cpad.get(x_idx, ci)
+            tot += (Li + w // nw + Ri) * h * kh * kw_ * c_eff * NT
+        return tot + _CHUNK_TARGET // 2 <= _VMEM_TARGET
+
+    nw = None
+    cand = 1
+    while cand <= _NW_CAP:
+        if fits(cand):
+            nw = cand
+            break
+        cand *= 2
+    if nw is None:                     # nothing fits: old largest-NW rule
+        nw = 1
+        cand = _NW_CAP
+        while cand > 1:
+            if all(w % cand == 0 and w // cand >= 7 for w in ws_all):
+                nw = cand
+                break
+            cand //= 2
+    sec.nw = nw
+    for i in all_tensors:
+        sec.ws[i] = sec.cwh[i][1] // nw
+        li, ri = sec.ext[i]
+        if li > sec.ws[i] or ri > sec.ws[i]:
+            raise NotImplementedError(
+                f"tiled plan: tensor {i} halo ({li},{ri}) exceeds its "
+                f"strip width {sec.ws[i]} (NW={nw})")
 
     # finalize emits now that extents are known
     for out_idx, operands, build in pending:
