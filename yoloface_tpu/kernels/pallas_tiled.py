@@ -76,6 +76,11 @@ _VMEM_TARGET = int(os.environ.get("YOLOFACE_TPU_TILE_VMEM", 64 << 20))
 _MERGE_MAX_MAINS = int(os.environ.get("YOLOFACE_TPU_TILE_MERGE", 3))
 # live int32 accumulator bytes bound for the H-chunk size
 _CHUNK_TARGET = int(os.environ.get("YOLOFACE_TPU_TILE_CHUNK", 16 << 20))
+# batch-lane tile for tiled sections.  The arena is pinned at 128 by
+# Mosaic's strided-load tiling; the tiled path has NO strided refs
+# (stride-2 via value split-reshape), so larger tiles are legal and
+# amortize per-grid-step overheads at the cost of 2x VMEM per view.
+_TILE_NT = int(os.environ.get("YOLOFACE_TPU_TILE_NT", NT))
 
 NOPAD = ((0, 0), (0, 0))
 
@@ -246,12 +251,12 @@ class _TSec:
         self.cwh: Dict[int, Tuple[int, int, int]] = {}   # (C, W, H)
         self.cpad: Dict[int, int] = {}  # DMA'd inputs: padded channels
         self.nw = 1
-        self.nt = NT                    # batch lane tile (set per trace)
+        self.nt = _TILE_NT              # batch lane tile (set per trace)
         self.im2col_shapes: List[Tuple[int, int, int]] = []
 
     def chunk(self, h: int, cw: int, co: int) -> int:
         """Largest divisor of h (<=16) bounding the live int32 chunk."""
-        per_row = cw * co * NT * 4 * (6 if self.exact else 2)
+        per_row = cw * co * _TILE_NT * 4 * (6 if self.exact else 2)
         cap = max(1, _CHUNK_TARGET // max(per_row, 1))
         best = 1
         for d in range(1, min(h, 16) + 1):
@@ -888,12 +893,12 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
             c, w, h = sec.cwh[tensor]
             c = sec.cpad.get(tensor, c)
             for v in vl:
-                tot += v.wl(w // nw) * v.hp(h) * c * NT
+                tot += v.wl(w // nw) * v.hp(h) * c * _TILE_NT
         for (x_idx, out_idx, kh, kw_, ci) in im2col_meta:
             Li, Ri = sec.ext[out_idx]
             _, w, h = sec.cwh[out_idx]
             c_eff = sec.cpad.get(x_idx, ci)
-            tot += (Li + w // nw + Ri) * h * kh * kw_ * c_eff * NT
+            tot += (Li + w // nw + Ri) * h * kh * kw_ * c_eff * _TILE_NT
         return tot + _CHUNK_TARGET // 2 <= _VMEM_TARGET
 
     nw = None
@@ -1022,7 +1027,8 @@ def _build_tiled_section(graph: GraphDef, sec: _TSec) -> Callable:
                 x = jnp.pad(x, ((Li, Ri), (ph0M, ph1M), (0, cpd), (0, 0)))
             xs.append(x)
         n = xs[0].shape[-1]
-        nt = NT if n % NT == 0 else n
+        nt = (_TILE_NT if n % _TILE_NT == 0
+              else (NT if n % NT == 0 else n))
         sec.nt = nt                   # read at trace time by the emits
         in_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in xs]
         op_specs = [
