@@ -70,14 +70,44 @@ def main():
                              "error": str(e).splitlines()[0][:200]}
         print(mode, results[mode], flush=True)
 
+    # the 448 scale family on the framework's tiled kernels: every tiled
+    # mode must be bit-exact vs its semantics twin ON HARDWARE at the
+    # real 448 shapes (kernels/pallas_tiled.py; the 56-net plan above is
+    # the arena fallback, which tests nothing new)
+    from yoloface_tpu.graph.retarget import retarget_spatial
+    g448 = retarget_spatial(graph, 8)
+    rng = np.random.default_rng(0)
+    x448 = rng.integers(-128, 128, (128, 448, 448, 3)).astype(np.int8)
+    twin448 = {}
+    tiled = {}
+    for mode in ("fast", "fast2", "exact", "pallas_tiled",
+                 "pallas_tiled2", "pallas_tiled_exact"):
+        try:
+            y = np.asarray(Int8Engine(g448, mode=mode)(x448))
+            if not mode.startswith("pallas"):
+                twin448[mode] = y
+                continue
+            tw = twin448["exact" if mode.endswith("exact")
+                         else "fast2" if mode.endswith("2") else "fast"]
+            tiled[mode] = {"compiled": True,
+                           "bit_exact_vs_twin": bool(np.array_equal(y, tw))}
+        except Exception as e:  # noqa: BLE001 - record, don't hide
+            tiled[mode] = {"compiled": False,
+                           "error": str(e).splitlines()[0][:200]}
+        if mode in tiled:
+            print("448", mode, tiled[mode], flush=True)
+
     # fast-bits modes legitimately differ from the reference kernels by
     # float-rounding drift; exact-bits modes must match the oracle, and
     # EVERY mode must match its semantics twin ("fast"/"exact") in hardware
     ok = (all(r.get("compiled") for r in results.values())
           and all(results[m]["bit_exact_vs_oracle"]
                   for m in results if m.endswith("exact"))
-          and all(results[m]["bit_exact_vs_twin"] for m in results))
-    payload = {"device": device, "image": IMG, "ok": ok, "modes": results}
+          and all(results[m]["bit_exact_vs_twin"] for m in results)
+          and all(r.get("compiled") and r.get("bit_exact_vs_twin")
+                  for r in tiled.values()))
+    payload = {"device": device, "image": IMG, "ok": ok, "modes": results,
+               "tiled448": tiled}
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(("OK" if ok else "FAILED"), "->", out_path)

@@ -252,7 +252,6 @@ class _TSec:
         self.cpad: Dict[int, int] = {}  # DMA'd inputs: padded channels
         self.nw = 1
         self.nt = _TILE_NT              # batch lane tile (set per trace)
-        self.im2col_shapes: List[Tuple[int, int, int]] = []
 
     def chunk(self, h: int, cw: int, co: int) -> int:
         """Largest divisor of h (<=16) bounding the live int32 chunk."""
@@ -420,41 +419,41 @@ def _gen_conv1x1(sec: _TSec, x_idx, out_idx, co, ci, requant, leaky):
 
 
 def _gen_conv_im2col(sec: _TSec, x_idx, out_idx, co, ci, kh, kw_, stride,
-                     pads, fill, requant, leaky, slot):
-    """K x K conv: phase-split im2col into a scratch ref, then MXU dots.
-    The input view may be channel-padded for DMA alignment; the weight
-    matrix carries zero columns for pad channels so their content never
-    contributes (probe448's stem trick)."""
+                     pads, fill, requant, leaky):
+    """K x K conv: PER-CHUNK phase-split im2col values, then MXU dots.
+    No scratch ref: the whole-plane im2col round trip was measured as the
+    stem's dominant VMEM traffic; per-chunk [cw, ch, K, nt] values stay
+    register/VMEM-small (the probe's register-spill failure was a
+    whole-H concat).  The input view may be channel-padded for DMA
+    alignment; the weight matrix carries zero columns for pad channels
+    so their content never contributes (probe448's stem trick)."""
     (pl_w, _), _hp = pads
     ph0_c = pads[1][0]
     Li, Ri = sec.ext[out_idx]
     cw = Li + sec.ws[out_idx] + Ri
     h = sec.cwh[out_idx][2]
     c_eff = sec.cpad.get(x_idx, ci)
-    K = kh * kw_ * c_eff
     Lx = Li * stride + pl_w
     ch = sec.chunk(h, cw, co)
-    rh = stride * h + kh - 1
+    rh = stride * ch + kh - 1
 
     def emit(tc, opvals):
         w_v, b_v, p1, p2 = opvals
         xr, woff, hoff = tc.read(x_idx, Lx, ph0_c, fill)
-        x_ref = tc.refs[("im2col", slot)]
         nt = tc.sec.nt
-        for dy in range(kw_):
-            wp = xr[woff + dy:woff + dy + stride * cw,
-                    hoff:hoff + rh, 0:c_eff, :]
-            if stride > 1:
-                wp = wp.reshape(cw, stride, rh, c_eff, nt)[:, 0]
-            for dx in range(kh):
-                k = dy * kh + dx
-                x_ref[:, :, c_eff * k:c_eff * (k + 1), :] = _phase_h(
-                    wp, dx, stride, h)
         zero = jnp.zeros((), jnp.int32)
 
         def body(hc_i, _):
             h0 = hc_i * ch
-            xc = x_ref[:, pl.ds(h0, ch)]
+            pieces = []
+            for dy in range(kw_):
+                wp = xr[woff + dy:woff + dy + stride * cw,
+                        pl.ds(hoff + stride * h0, rh), 0:c_eff, :]
+                if stride > 1:
+                    wp = wp.reshape(cw, stride, rh, c_eff, nt)[:, 0]
+                for dx in range(kh):
+                    pieces.append(_phase_h(wp, dx, stride, ch))
+            xc = jnp.concatenate(pieces, axis=2)   # [cw, ch, K, nt]
             outs = []
             for wpos in range(cw):
                 for hh in range(ch):
@@ -470,7 +469,7 @@ def _gen_conv_im2col(sec: _TSec, x_idx, out_idx, co, ci, kh, kw_, stride,
         lax.fori_loop(0, h // ch, body, zero)
         tc.edge_fills(out_idx)
 
-    return emit, (cw, h, K)
+    return emit
 
 
 def _gen_dw(sec: _TSec, x_idx, out_idx, c, stride, pads, fill,
@@ -615,7 +614,6 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
     consumers: List[Tuple] = []
     # deferred emit builders: (out_idx, operands, build(sec) -> emit)
     pending: List[Tuple[int, List, Callable]] = []
-    im2col_slots = [0]
     im2col_meta: List[Tuple[int, int, int, int, int]] = []
 
     for op in sec_ops:
@@ -671,8 +669,6 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                             ).astype(np.int32).reshape(co, 1)
                 requant.bound = _acc_bound(
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
-                slot = im2col_slots[0]
-                im2col_slots[0] += 1
                 im2col_meta.append((x_idx, out_idx, kh, kw_, ci))
                 consumers.append((out_idx, x_idx, stride, pl_w, kw_,
                                   ph0, ph1, fill))
@@ -680,8 +676,7 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                 def build_im2col(s_, x_idx=x_idx, out_idx=out_idx, co=co,
                                  ci=ci, kh=kh, kw_=kw_, stride=stride,
                                  pads=pads, fill=fill, rq=requant,
-                                 lk=leaky, slot=slot, wd=wd,
-                                 operands=None):
+                                 lk=leaky, wd=wd, operands=None):
                     c_eff = s_.cpad.get(x_idx, ci)
                     w2 = np.zeros((co, kw_ * kh * c_eff), np.int8)
                     for dy in range(kw_):
@@ -690,11 +685,9 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                             w2[:, c_eff * k:c_eff * k + ci] = wd[:, dx,
                                                                  dy, :]
                     operands[0] = w2     # patch the placeholder
-                    emit, dims = _gen_conv_im2col(
+                    return _gen_conv_im2col(
                         s_, x_idx, out_idx, co, ci, kh, kw_, stride, pads,
-                        fill, rq, lk, slot)
-                    s_.im2col_shapes.append(dims)
-                    return emit
+                        fill, rq, lk)
 
                 ops_list = [None, bias_eff, requant.p1, requant.p2]
                 pending.append((
@@ -895,10 +888,12 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
             for v in vl:
                 tot += v.wl(w // nw) * v.hp(h) * c * _TILE_NT
         for (x_idx, out_idx, kh, kw_, ci) in im2col_meta:
+            # per-chunk im2col VALUE (no scratch plane since the
+            # per-chunk rewrite); bounded by the chunk cap of 16 rows
             Li, Ri = sec.ext[out_idx]
-            _, w, h = sec.cwh[out_idx]
+            _, w, _h = sec.cwh[out_idx]
             c_eff = sec.cpad.get(x_idx, ci)
-            tot += (Li + w // nw + Ri) * h * kh * kw_ * c_eff * _TILE_NT
+            tot += (Li + w // nw + Ri) * 16 * kh * kw_ * c_eff * _TILE_NT
         return tot + _CHUNK_TARGET // 2 <= _VMEM_TARGET
 
     nw = None
@@ -953,7 +948,6 @@ def _build_tiled_section(graph: GraphDef, sec: _TSec) -> Callable:
     n_ops = len(operand_arrays)
     n_out = len(sec.outputs)
     n_views = len(view_slots)
-    n_im2col = len(sec.im2col_shapes)
     n_dma = sum(len(sec.views[i]) for i in sec.inputs)
 
     # wrapper pad amounts per input: W union extents; H view maxima
@@ -974,9 +968,7 @@ def _build_tiled_section(graph: GraphDef, sec: _TSec) -> Callable:
         vrefs: Dict[Tuple, object] = {}
         for k_i, key in enumerate(view_slots):
             vrefs[key] = refs[base + k_i]
-        for k_i in range(n_im2col):
-            vrefs[("im2col", k_i)] = refs[base + n_views + k_i]
-        sems = refs[base + n_views + n_im2col]
+        sems = refs[base + n_views]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -1055,8 +1047,6 @@ def _build_tiled_section(graph: GraphDef, sec: _TSec) -> Callable:
             scratch.append(pltpu.VMEM(
                 (v.wl(sec.ws[tensor]), v.hp(sec.cwh[tensor][2]), c, nt),
                 jnp.int8))
-        for (cw, h, K) in sec.im2col_shapes:
-            scratch.append(pltpu.VMEM((cw, h, K, nt), jnp.int8))
         scratch.append(pltpu.SemaphoreType.DMA((max(n_dma, 1),)))
         res = pl.pallas_call(
             kernel,
