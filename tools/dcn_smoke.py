@@ -56,6 +56,14 @@ def child(process_id: int, port: int) -> None:
     assert jax.local_device_count() == LOCAL_DEVICES
     assert mesh.devices.size == N_PROC * LOCAL_DEVICES
 
+    # establish the gloo collectives context NOW, while both processes
+    # are idle: on this one-core machine the first heavy jit compile can
+    # skew the processes by minutes, and gloo context initialization has
+    # a fixed 30 s rendezvous deadline — a trivial barrier up front makes
+    # the context creation immune to the later compile skew
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("dcn_smoke_start")
+
     # ---- sharded inference, checked vs single-device ----
     from yoloface_tpu.io.tflite_import import load_tflite
     from yoloface_tpu.pipeline.e2e import FacePipeline
