@@ -108,6 +108,31 @@ def main():
         if mode == FLAGSHIP:
             flag_fps, flag_p50 = fps, p50
 
+    # the 448 scale family: framework tiled kernels vs the XLA twin,
+    # net-only at a fixed batch (VERDICT r3: the comparison must live in
+    # the bench artifact, not prose).  BENCH_448=0 skips it.
+    scale448 = {}
+    if os.environ.get("BENCH_448", "1") != "0":
+        from yoloface_tpu.graph.retarget import retarget_spatial
+        g448 = retarget_spatial(graph, 8)
+        n448 = int(os.environ.get("BENCH_448_BATCH", "1024"))
+        x448 = jax.jit(lambda: jax.random.randint(
+            jax.random.key(2), (n448, 448, 448, 3), -128, 128,
+            jnp.int8))()
+        jax.block_until_ready(x448)
+        for mode in os.environ.get("BENCH_448_MODES",
+                                   "fast2,pallas_tiled2").split(","):
+            eng = Int8Engine(g448, mode=mode)
+            s = jax.jit(lambda v, eng=eng:
+                        eng._forward(v).astype(jnp.int32).sum())
+            int(s(x448))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                r = s(x448)
+            int(r)
+            dt = (time.perf_counter() - t0) / 5
+            scale448[mode] = round(n448 / dt, 1)
+
     print(json.dumps({
         "metric": "fused_pipeline_frames_per_sec_per_chip",
         "value": round(flag_fps, 1),
@@ -117,6 +142,7 @@ def main():
         "p50_batch_latency_ms": round(flag_p50, 3),
         "engine_mode": FLAGSHIP,
         "modes": modes_fps,
+        "scale448_net_fps": scale448,
         "device": str(jax.devices()[0]),
     }))
 

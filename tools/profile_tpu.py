@@ -55,6 +55,48 @@ def main():
         eng = Int8Engine(graph, mode=mode)
         rows = profiler.profile_engine(eng, x, iters=20, warmup=2)
         print(profiler.format_profile(rows))
+    elif cmd == "stages448":
+        # integrated cumulative per-plan-stage timing of the 448 scale
+        # family (tiled modes vs any other): jit plan[:k] with a scalar
+        # reduce, report marginals — the attribution that drives the
+        # tiled-section design (docs/PROFILE.md)
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from yoloface_tpu.graph.retarget import retarget_spatial
+
+        mode = sys.argv[3] if len(sys.argv) > 3 else "pallas_tiled2"
+        n = batch if batch <= 8192 else 1024
+        g448 = retarget_spatial(graph, 8)
+        eng = Int8Engine(g448, mode=mode)
+        rng = np.random.default_rng(0)
+        xi = rng.integers(-128, 128, (n, 448, 448, 3)).astype(np.int8)
+        if mode.startswith("pallas"):
+            xi = xi.transpose(eng._perm_in)
+        xl = jax.device_put(jnp.asarray(xi))
+        prev = 0.0
+        for k in range(1, len(eng._plan) + 1):
+            def run(xin, k=k):
+                env = {eng.input_idx: xin}
+                out = None
+                for fn in eng._plan[:k]:
+                    out = fn(env)
+                return out.astype(jnp.int32).sum()
+
+            f = jax.jit(run)
+            int(f(xl))
+            t0 = time.perf_counter()
+            for _ in range(8):
+                s = f(xl)
+            int(s)
+            ms = (time.perf_counter() - t0) / 8 * 1e3
+            outs = getattr(eng._plan[k - 1], "stage_outputs",
+                           [eng._plan[k - 1].out_idx])
+            print(f"plan[:{k}]: {ms:8.2f} ms  (marginal "
+                  f"{ms - prev:7.2f})  outs={outs}", flush=True)
+            prev = ms
     elif cmd == "modes":
         modes = (sys.argv[3].split(",") if len(sys.argv) > 3 else
                  ["fast", "pallas", "pallas_fused"])
