@@ -445,12 +445,12 @@ def _gen_conv_im2col(sec: _TSec, x_idx, out_idx, co, ci, kh, kw_, stride,
 
         def body(hc_i, _):
             h0 = hc_i * ch
+            # one window read per chunk; W/H phases are value selections
+            xw = xr[woff:woff + stride * cw + kw_ - 1,
+                    pl.ds(hoff + stride * h0, rh), 0:c_eff, :]
             pieces = []
             for dy in range(kw_):
-                wp = xr[woff + dy:woff + dy + stride * cw,
-                        pl.ds(hoff + stride * h0, rh), 0:c_eff, :]
-                if stride > 1:
-                    wp = wp.reshape(cw, stride, rh, c_eff, nt)[:, 0]
+                wp = _phase_w(xw, dy, stride, cw)
                 for dx in range(kh):
                     pieces.append(_phase_h(wp, dx, stride, ch))
             xc = jnp.concatenate(pieces, axis=2)   # [cw, ch, K, nt]
