@@ -170,3 +170,57 @@ def test_retarget_rejects_non_conv_graph(int8_graph):
 def test_retarget_bad_factor(int8_graph):
     with pytest.raises(ValueError):
         retarget_spatial(int8_graph, 0)
+
+
+def test_retargeted_detection_translation_invariance(int8_graph, graph112):
+    """The retargeted family is a real DETECTOR at scale: a yoloface-56
+    frame pasted into a 112 canvas at a stride-lattice offset must yield
+    the SAME detection shifted by the offset (the fully-conv net is
+    translation-equivariant on the x8 lattice; the head decodes grid 14
+    with the same stride/anchors, boxes clamped to the 112 frame —
+    pipeline/head.py clamp parametrization).  Reference role: the scale
+    variant as a deployable detector (yolov3_train_tf.py:31-32)."""
+    import cv2
+
+    from yoloface_tpu.pipeline.e2e import FacePipeline
+    from yoloface_tpu.pipeline.head import HeadConfig
+
+    img = cv2.cvtColor(
+        cv2.imread("/root/reference/yoloface/small_dataset/img_1087.jpg"),
+        cv2.COLOR_BGR2RGB)
+    x56 = (cv2.resize(img, (56, 56)).astype(np.float32)
+           - 128.0).astype(np.int8)
+    off = 48                                   # multiple of the x8 lattice
+    zp = int8_graph.tensor(int8_graph.inputs[0]).qparams.zero_point
+    canvas = np.full((112, 112, 3), zp, np.int8)
+    canvas[off:off + 56, off:off + 56] = x56
+
+    pipe56 = FacePipeline(Int8Engine(int8_graph, mode="fast"))
+    det56 = pipe56.detect_int8(x56[None])
+    pipe112 = FacePipeline(Int8Engine(graph112, mode="fast"),
+                           HeadConfig(grid=14))
+    det112 = pipe112.detect_int8(canvas[None])
+
+    n56 = int(np.asarray(det56["count"])[0])
+    assert n56 >= 1 and int(np.asarray(det112["count"])[0]) >= 1
+
+    # equivariance is exact only away from frame borders (each layer's
+    # SAME padding uses its own zero point, which a conv over the
+    # canvas's zp background does not reproduce), so match the shifted
+    # face box by IoU instead of comparing whole detection sets
+    b56 = np.asarray(det56["boxes"])[0][np.asarray(det56["valid"])[0]]
+    b112 = np.asarray(det112["boxes"])[0][np.asarray(det112["valid"])[0]]
+    want = b56[0] + off                        # shifted by the paste
+
+    def iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ar = (a[2] - a[0]) * (a[3] - a[1])
+        br = (b[2] - b[0]) * (b[3] - b[1])
+        return inter / (ar + br - inter)
+
+    best = max(iou(want, b) for b in b112)
+    assert best > 0.8, (want, b112)
+    # boxes beyond x=55 prove the clamp follows the retargeted frame
+    assert b112.max() > 56.0

@@ -16,16 +16,16 @@ import sys
 import numpy as np
 
 
-def preprocess_image(path: str):
+def preprocess_image(path: str, size: int = 56):
     import cv2
     img = cv2.imread(path)
     if img is None:
         raise SystemExit(f"cannot read image: {path}")
     h, w = img.shape[:2]
     rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    x = cv2.resize(rgb, (56, 56)).astype(np.float32)
+    x = cv2.resize(rgb, (size, size)).astype(np.float32)
     x = (x - 128.0).astype(np.int8)  # tflite_prediction.py:34-37
-    return img, x, (w / 56.0, h / 56.0)
+    return img, x, (w / size, h / size)
 
 
 def detections_to_records(det, i, scales=(1.0, 1.0)):
@@ -37,7 +37,7 @@ def detections_to_records(det, i, scales=(1.0, 1.0)):
             continue
         x1, y1, x2, y2 = box
         out.append({
-            "box_56": [float(v) for v in box],
+            "box_net": [float(v) for v in box],
             "box_image": [float(x1 * wx), float(y1 * hy),
                           float(x2 * wx), float(y2 * hy)],
             "confidence": float(score),
@@ -50,10 +50,18 @@ def main(argv=None):
     p.add_argument("--tflite",
                    default="/root/reference/yoloface/tflite/yoloface_int8.tflite")
     p.add_argument("--mode", default="exact",
-                   choices=["exact", "fast", "pallas", "pallas_exact",
-                            "pallas_fused", "pallas_fused_exact",
-                            "pallas_arena", "pallas_arena_exact",
-                            "pallas_mxu", "pallas_mxu_exact"])
+                   choices=["exact", "fast", "fast2", "pallas",
+                            "pallas_exact", "pallas_fused",
+                            "pallas_fused_exact", "pallas_arena",
+                            "pallas_arena_exact", "pallas_mxu",
+                            "pallas_mxu_exact", "pallas_mxu2",
+                            "pallas_tiled", "pallas_tiled2",
+                            "pallas_tiled_exact"])
+    p.add_argument("--retarget", type=int, default=1, metavar="K",
+                   help="run the spatially retargeted graph at 56*K px "
+                        "(graph/retarget.py): detects yoloface-scale "
+                        "faces on a K-times larger frame at full "
+                        "resolution (grid 7*K, same stride/anchors)")
     p.add_argument("--conf", type=float, default=0.7)
     p.add_argument("--iou", type=float, default=0.5)
     p.add_argument("--image", help="single image path")
@@ -68,13 +76,19 @@ def main(argv=None):
     from yoloface_tpu.pipeline.head import HeadConfig
     from yoloface_tpu.runtime.engine import Int8Engine
 
+    graph = load_tflite(args.tflite)
+    size = 56 * args.retarget
+    if args.retarget > 1:
+        from yoloface_tpu.graph.retarget import retarget_spatial
+        graph = retarget_spatial(graph, args.retarget)
     pipe = FacePipeline(
-        Int8Engine(load_tflite(args.tflite), mode=args.mode),
-        HeadConfig(conf_threshold=args.conf, iou_threshold=args.iou))
+        Int8Engine(graph, mode=args.mode),
+        HeadConfig(grid=7 * args.retarget, conf_threshold=args.conf,
+                   iou_threshold=args.iou))
 
     results = {}
     if args.image:
-        img, x, scales = preprocess_image(args.image)
+        img, x, scales = preprocess_image(args.image, size)
         det = pipe.detect_int8(x[None])
         recs = detections_to_records(det, 0, scales)
         results[os.path.basename(args.image)] = recs
@@ -85,7 +99,7 @@ def main(argv=None):
         imgs, xs, scales_l = [], [], []
         for f in files:
             img, x, scales = preprocess_image(
-                os.path.join(args.batch_dir, f))
+                os.path.join(args.batch_dir, f), size)
             imgs.append(img)
             xs.append(x)
             scales_l.append(scales)
@@ -104,7 +118,7 @@ def main(argv=None):
             if not ok:
                 break
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            x = (cv2.resize(rgb, (56, 56)).astype(np.float32)
+            x = (cv2.resize(rgb, (size, size)).astype(np.float32)
                  - 128.0).astype(np.int8)
             det = pipe.detect_int8(x[None])
             results[f"frame_{idx}"] = detections_to_records(det, 0)

@@ -131,7 +131,9 @@ def select_detections(boxes, conf, cfg: HeadConfig = HeadConfig()):
 
 
 def clamp_boxes(boxes, limit: float = 55.0):
-    """Clamp to the 56x56 frame like the firmware (yoloface.c:143-147)."""
+    """Clamp to the frame like the firmware (yoloface.c:143-147); the
+    limit is grid*stride - 1 (55 for the 56-net, 447 for the retargeted
+    448 family)."""
     return jnp.clip(boxes, 0.0, limit)
 
 
@@ -160,7 +162,8 @@ def detect_int8_head(y_int8, *, scale: float, zero_point: int,
             anchors=cfg.anchors, stride=float(cfg.stride),
             conf_threshold=float(cfg.conf_threshold),
             iou_threshold=float(cfg.iou_threshold), k=k,
-            apply_nms=cfg.apply_nms)
+            apply_nms=cfg.apply_nms,
+            box_limit=float(cfg.grid * cfg.stride - 1))
 
     # dequantize ONCE up front: int8 slices/transposes/gathers all lower
     # ~10x slower than their f32 twins on TPU (measured; an int8 one-hot
@@ -208,8 +211,10 @@ def detect_int8_head(y_int8, *, scale: float, zero_point: int,
     w = jnp.exp(t[..., 2]) * aw
     h = jnp.exp(t[..., 3]) * ah
     conf = jax_sigmoid(t[..., 4])
-    boxes = clamp_boxes(jnp.stack(
-        [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1))
+    boxes = clamp_boxes(
+        jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                  axis=-1),
+        limit=float(cfg.grid * cfg.stride - 1))
 
     valid = conf >= cfg.conf_threshold
     scores = jnp.where(valid, conf, 0.0)
