@@ -1073,13 +1073,61 @@ def _build_tiled_section(graph: GraphDef, sec: _TSec) -> Callable:
 
 
 # --------------------------------------------------------------------------
-# full plan: tiled sections + arena suffix
+# full plan: tiled sections + arena suffix (+ optional XLA hybrid)
 # --------------------------------------------------------------------------
+def _build_xla_section(graph: GraphDef, sec_ops: List, exact: bool,
+                      v2: bool, later_needs: set) -> Callable:
+    """Run one section on the engine's XLA twin lowering (hybrid mode,
+    env YOLOFACE_TPU_TILE_XLA): env tensors are WHCN, the XLA fns expect
+    NHWC, so the section transposes at its boundaries.  Bit-identical by
+    construction (the XLA fns ARE the twin)."""
+    from yoloface_tpu.runtime.engine import Int8Engine
+
+    mode = "exact" if exact else ("fast2" if v2 else "fast")
+    eng = Int8Engine(graph, mode=mode)
+    by_out = {fn.out_idx: fn for fn in eng._plan}
+    sec_idx = {op.index for op in sec_ops}
+    owner, _ = _absorption(graph)
+    fns = []
+    for op in sec_ops:
+        if op.index in owner and owner[op.index] in sec_idx \
+                and op.outputs[0] in by_out and mode != "fast2":
+            # fast/exact plans keep absorbed LEAKY/PAD as their own fns
+            fns.append(by_out[op.outputs[0]])
+            continue
+        fn = by_out.get(op.outputs[0])
+        if fn is not None and fn not in fns:
+            fns.append(fn)
+    produced = [o for op in sec_ops for o in op.outputs]
+    inputs = sorted({i for op in sec_ops for i in op.inputs
+                     if i >= 0 and graph.tensor(i).data is None
+                     and i not in produced})
+    outputs = [i for i in dict.fromkeys(produced) if i in later_needs]
+    perm_in, perm_out = (3, 1, 0, 2), (2, 1, 3, 0)   # WHCN<->NHWC
+
+    def fn(env):
+        nenv = {i: jnp.transpose(env[i], perm_in) for i in inputs}
+        for f in fns:
+            nenv_out = f(nenv)
+            nenv[f.out_idx] = nenv_out
+        for o in outputs:
+            env[o] = jnp.transpose(nenv[o], perm_out)
+        return env[outputs[-1]]
+
+    fn.out_idx = outputs[-1]                     # type: ignore
+    fn.stage_outputs = list(outputs)             # type: ignore
+    return fn
+
+
 def build_tiled_plan(graph: GraphDef, exact: bool,
                      v2: bool = False) -> List[Callable]:
     sections, suffix = plan_tiled_split(graph)
     if not sections:                  # small graph: plain arena
         return build_arena_plan(graph, exact, layout="whcn", v2=v2)
+
+    # hybrid sweep knob: comma list of section indices (or 'suffix') to
+    # run on the XLA twin lowering instead of the tiled kernels
+    xla_secs = set(os.environ.get("YOLOFACE_TPU_TILE_XLA", "").split(","))
 
     plan: List[Callable] = []
     all_groups = sections + ([suffix] if suffix else [])
@@ -1088,9 +1136,18 @@ def build_tiled_plan(graph: GraphDef, exact: bool,
         for grp in all_groups[si + 1:]:
             for op in grp:
                 later.update(i for i in op.inputs if i >= 0)
-        sec = _lower_section(graph, sec_ops, exact, v2, later)
-        plan.append(_build_tiled_section(graph, sec))
+        if str(si) in xla_secs:
+            plan.append(_build_xla_section(graph, sec_ops, exact, v2,
+                                           later))
+        else:
+            sec = _lower_section(graph, sec_ops, exact, v2, later)
+            plan.append(_build_tiled_section(graph, sec))
     if suffix:
-        plan.extend(build_arena_plan(graph, exact, layout="whcn", v2=v2,
-                                     ops=suffix))
+        if "suffix" in xla_secs:
+            later = set(graph.outputs)
+            plan.append(_build_xla_section(graph, suffix, exact, v2,
+                                           later))
+        else:
+            plan.extend(build_arena_plan(graph, exact, layout="whcn",
+                                         v2=v2, ops=suffix))
     return plan
