@@ -42,6 +42,43 @@ import numpy as np
 
 BASELINE_FPS = 50_000.0
 TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
+# The axon tunnel has documented transient outages (ROADMAP round 3:
+# one UNAVAILABLE at import zeroed the whole round's perf evidence,
+# BENCH_r03.json rc=1).  The driver runs bench.py exactly once per
+# round, so the bench itself owns availability: poll the tunnel health
+# endpoint and retry the first device op for a bounded window before
+# failing loudly.  BENCH_TPU_WAIT_S=0 disables (e.g. CPU smoke runs).
+TPU_HEALTH_URL = "http://127.0.0.1:8083/health"
+TPU_WAIT_S = float(os.environ.get("BENCH_TPU_WAIT_S", "300"))
+
+
+def _tunnel_healthy(timeout=5.0):
+    import urllib.request
+    try:
+        with urllib.request.urlopen(TPU_HEALTH_URL, timeout=timeout) as r:
+            return r.status == 200
+    except Exception:
+        return False
+
+
+def _retry_tpu(fn, what, deadline):
+    """Run fn(); on UNAVAILABLE backend errors retry until `deadline`."""
+    while True:
+        try:
+            return fn()
+        except Exception as e:  # JaxRuntimeError/RuntimeError: UNAVAILABLE
+            msg = str(e)
+            if "UNAVAILABLE" not in msg and "Unable to initialize" not in msg:
+                raise
+            if time.time() >= deadline:
+                raise RuntimeError(
+                    f"TPU tunnel still unavailable after {TPU_WAIT_S:.0f}s "
+                    f"while {what}: {msg}") from e
+            print(f"bench: TPU UNAVAILABLE while {what}; waiting for the "
+                  "tunnel to recover...", file=sys.stderr)
+            while time.time() < deadline and not _tunnel_healthy():
+                time.sleep(10)
+            time.sleep(5)  # give the backend a beat after health returns
 FLAGSHIP = os.environ.get("BENCH_MODE", "pallas_mxu2")
 # exact-bits flagship included so deploy-validation perf regressions are
 # caught by the driver artifact, not prose (VERDICT r2 weak #6)
@@ -60,10 +97,13 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     graph = load_tflite(TFLITE)
 
+    deadline = time.time() + TPU_WAIT_S
+
     # two device-resident frame batches (alternate per iteration)
     gen = jax.jit(lambda seed: jax.random.bits(
         jax.random.key(seed), (batch, 112, 112), jnp.uint16))
-    frame_bufs = [gen(0), gen(1)]
+    frame_bufs = _retry_tpu(lambda: [gen(0), gen(1)],
+                            "initializing the TPU backend", deadline)
     jax.block_until_ready(frame_bufs)
 
     def build(mode):
@@ -78,7 +118,9 @@ def main():
 
     def measure(mode):
         step = build(mode)
-        int(step(frame_bufs[0]))           # compile + first run
+        # compile + first run (remote compile service — also retried)
+        _retry_tpu(lambda: int(step(frame_bufs[0])),
+                   f"compiling mode {mode}", deadline)
         # synchronous latency (dispatch + compute + fixed ~24 ms tunnel
         # round trip per fetch — the conservative per-batch number)
         lats = []
@@ -125,7 +167,8 @@ def main():
             eng = Int8Engine(g448, mode=mode)
             s = jax.jit(lambda v, eng=eng:
                         eng._forward(v).astype(jnp.int32).sum())
-            int(s(x448))
+            _retry_tpu(lambda: int(s(x448)),
+                       f"compiling 448 mode {mode}", deadline)
             t0 = time.perf_counter()
             for _ in range(5):
                 r = s(x448)

@@ -164,3 +164,92 @@ def test_bounded_preshift_matches_limb_composition():
         got = np.asarray(multiply_by_quantized_multiplier_bounded_preshift(
             xs, jnp.int32(qm), jnp.int32(sh), 20))
         np.testing.assert_array_equal(got, want)
+
+
+def test_mbqm_numpy_matches_reference():
+    """The plan-time numpy oracle (used by the single-multiply derivation)
+    is bit-exact vs the python-int gemmlowp port on random (x, qm, shift)."""
+    from yoloface_tpu.core.fixedpoint import mbqm_numpy
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        qm = int(rng.integers(1 << 30, I32_MAX))
+        shift = int(rng.integers(-12, 3))
+        xs = np.concatenate([
+            rng.integers(-(1 << 18), 1 << 18, 2000),
+            np.array([0, 1, -1, 255, -255, 383, -383])])
+        got = mbqm_numpy(xs, qm, shift)
+        want = np.array([mbqm_ref(int(x), qm, shift) for x in xs])
+        np.testing.assert_array_equal(got, want)
+
+
+def _exact_two_branch(v, qm_id, sh_id, qm_al, sh_al, zp_out):
+    out = np.array([mbqm_ref(int(x), qm_al if x < 0 else qm_id,
+                             sh_al if x < 0 else sh_id) for x in v])
+    return np.clip(out + zp_out, -128, 127)
+
+
+def test_single_multiply_form_bitexact_on_graph_leakys():
+    """derive_single_multiply succeeds for EVERY leaky op in the shipped
+    graph and the derived (k, m, c) form reproduces the exact two-branch
+    MBQM chain over the full 256-value domain (the round-4 exact-bits
+    epilogue lever, docs/PROFILE.md nested-floor note)."""
+    from yoloface_tpu.core.fixedpoint import derive_single_multiply
+    from yoloface_tpu.io.tflite_import import load_tflite
+    g = load_tflite("/root/reference/yoloface/tflite/yoloface_int8.tflite")
+    n = 0
+    for op in g.ops:
+        if op.opname != "LEAKY_RELU":
+            continue
+        in_q = g.tensor(op.inputs[0]).qparams
+        out_q = g.tensor(op.outputs[0]).qparams
+        ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
+        alpha = np.float64(op.attrs["alpha"])
+        qm_id, sh_id = quantize_multiplier(float(ratio))
+        qm_al, sh_al = quantize_multiplier(float(ratio * alpha))
+        sm = derive_single_multiply(qm_id, sh_id, qm_al, sh_al,
+                                    in_q.zero_point, out_q.zero_point)
+        assert sm is not None, f"derivation failed for leaky op {op.index}"
+        k, m_id, c_id, m_al, c_al = sm
+        v = np.arange(-128 - in_q.zero_point, 128 - in_q.zero_point,
+                      dtype=np.int64)
+        a = np.abs(v)
+        m = np.where(v < 0, m_al, m_id)
+        c = np.where(v < 0, c_al, c_id)
+        assert int((a * m + c).max()) <= I32_MAX  # int32-safe by contract
+        t2 = (a * m + c) >> k
+        got = np.clip(np.where(v < 0, -t2, t2) + out_q.zero_point, -128, 127)
+        want = _exact_two_branch(v, qm_id, sh_id, qm_al, sh_al,
+                                 out_q.zero_point)
+        np.testing.assert_array_equal(got, want)
+        n += 1
+    assert n == 17
+
+
+def test_single_multiply_form_random_params():
+    """Randomized (qm, shift, zp) requant maps: whenever the derivation
+    succeeds, the form is bit-exact over the whole domain (the deriver's
+    own exhaustive check is re-verified independently here)."""
+    from yoloface_tpu.core.fixedpoint import derive_single_multiply
+    rng = np.random.default_rng(2)
+    n_ok = 0
+    for _ in range(60):
+        qm_id = int(rng.integers(1 << 30, I32_MAX))
+        qm_al = int(rng.integers(1 << 30, I32_MAX))
+        sh_id = int(rng.integers(-6, 2))
+        sh_al = int(rng.integers(-8, 0))
+        zp_in = int(rng.integers(-128, 128))
+        zp_out = int(rng.integers(-128, 128))
+        sm = derive_single_multiply(qm_id, sh_id, qm_al, sh_al,
+                                    zp_in, zp_out)
+        if sm is None:
+            continue
+        n_ok += 1
+        k, m_id, c_id, m_al, c_al = sm
+        v = np.arange(-128 - zp_in, 128 - zp_in, dtype=np.int64)
+        a = np.abs(v)
+        t2 = (a * np.where(v < 0, m_al, m_id)
+              + np.where(v < 0, c_al, c_id)) >> k
+        got = np.clip(np.where(v < 0, -t2, t2) + zp_out, -128, 127)
+        want = _exact_two_branch(v, qm_id, sh_id, qm_al, sh_al, zp_out)
+        np.testing.assert_array_equal(got, want)
+    assert n_ok >= 50  # the tiny domain makes derivation near-certain

@@ -81,6 +81,30 @@ def test_run_monitor_from_text():
     assert "Frame 4" in out.getvalue()
 
 
+def test_run_monitor_save_png(tmp_path):
+    """--save-png writes a rendered dashboard image (box canvas + rolling
+    history chart — the reference GUI's live visual, main.py:448-552) at
+    every render point, valid and decodable."""
+    import cv2
+
+    boxes = np.array([[5.0, 6.0, 20.0, 25.0], [40.0, 50.0, 90.0, 100.0]])
+    text = "".join(protocol.encode_frame(i + 1, boxes,
+                                         np.array([0.9, 0.75]),
+                                         np.array([True, True]))
+                   for i in range(4))
+    out = io.StringIO()
+    png_dir = tmp_path / "dash"
+    state = run_monitor([text], render_every=2, out=out,
+                        save_png=str(png_dir))
+    assert state.frames == 4
+    pngs = sorted(png_dir.glob("frame_*.png"))
+    assert [p.name for p in pngs] == ["frame_00002.png", "frame_00004.png"]
+    img = cv2.imread(str(pngs[-1]))
+    assert img is not None and img.shape[0] > 100 and img.shape[1] > 100
+    # the canvas is not blank: the box edges leave non-background pixels
+    assert img.std() > 1.0
+
+
 def test_monitor_socket_source():
     """Byte-stream transport parity: protocol text pushed over a TCP socket
     (the serial-port role, 上位机/IAP/main.py:228-311) reaches the monitor

@@ -4,10 +4,12 @@ reference loop (train.py -> tflite_quantize.py -> MCU runtime) as one
 assertion.  (~3 min on the 1-core CPU; the deepest integration test.)"""
 
 import numpy as np
+import pytest
 
 from examples.train_synthetic import evaluate_deployed, train
 
 
+@pytest.mark.slow
 def test_train_quantize_deploy_learns():
     state = train(steps=300, batch=32, seed=0)
     metrics = evaluate_deployed(state)
@@ -16,6 +18,7 @@ def test_train_quantize_deploy_learns():
     assert metrics["mean_iou"] >= 0.45, metrics
 
 
+@pytest.mark.slow
 def test_cfg_net_train_quantize_deploy_learns():
     """Same loop for an ARBITRARY cfg-defined architecture: DarknetNet is
     trained directly in JAX, then template_from_darknet -> calibrate ->
@@ -32,6 +35,7 @@ def test_cfg_net_train_quantize_deploy_learns():
     assert metrics["mean_iou"] >= 0.45, metrics
 
 
+@pytest.mark.slow
 def test_real_faces_corpus_closure():
     """Train→quantize→deploy on REAL faces (VERDICT r2 weak #7): overfit
     the 24-image corpus (pseudo-labeled by the shipped int8 detector),

@@ -195,6 +195,7 @@ def test_threshold_first_head_matches_full_decode():
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
 
 
+@pytest.mark.slow
 def test_pallas_rgb565_path_matches_fast(int8_graph):
     """The zero-relayout Pallas serving path (in-kernel preprocess feeding
     the engine layout directly) produces detections IDENTICAL to the XLA

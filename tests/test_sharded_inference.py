@@ -52,6 +52,7 @@ def test_init_distributed_single_process(mesh):
     assert len(arr.sharding.device_set) == m.devices.size
 
 
+@pytest.mark.slow
 def test_two_process_dcn_smoke():
     """The multi-host path actually executes multi-process (VERDICT r2
     weak #5): two OS processes, localhost coordinator, 8 global devices;

@@ -67,13 +67,36 @@ def test_split_structure(g2, monkeypatch):
 
 
 @pytest.mark.parametrize("mode,twin", [("pallas_tiled2", "fast2"),
-                                       ("pallas_tiled_exact", "exact")])
+                                       pytest.param("pallas_tiled_exact",
+                                                    "exact",
+                                                    marks=pytest.mark.slow),
+                                       pytest.param("pallas_tiled", "fast",
+                                                    marks=pytest.mark.slow)])
 def test_tiled_bit_parity(g2, monkeypatch, mode, twin):
     _lower_threshold(monkeypatch)
     rng = np.random.default_rng(0)
     x = rng.integers(-128, 128, (2, 112, 112, 3)).astype(np.int8)
     ref = np.asarray(Int8Engine(g2, mode=twin)(x))
     out = np.asarray(Int8Engine(g2, mode=mode)(x))
+    assert np.array_equal(ref, out)
+
+
+@pytest.mark.parametrize("xla_secs", ["0,3", "suffix",
+                                      pytest.param("1",
+                                                   marks=pytest.mark.slow)])
+def test_hybrid_xla_routing_bit_parity(g2, monkeypatch, xla_secs):
+    """YOLOFACE_TPU_TILE_XLA routes the named sections (or the suffix) to
+    the XLA twin lowering inside the tiled plan; the mixed plan must stay
+    bit-identical to the all-XLA twin.  '0,3' covers the im2col stem and a
+    transition pair on XLA with tiled chains between (the hybrid serving
+    split from docs/PROFILE.md); 'suffix' covers the arena tail on XLA;
+    '1' covers a deep tiled chain handed to XLA mid-plan."""
+    _lower_threshold(monkeypatch)
+    monkeypatch.setenv("YOLOFACE_TPU_TILE_XLA", xla_secs)
+    rng = np.random.default_rng(1)
+    x = rng.integers(-128, 128, (2, 112, 112, 3)).astype(np.int8)
+    ref = np.asarray(Int8Engine(g2, mode="fast2")(x))
+    out = np.asarray(Int8Engine(g2, mode="pallas_tiled2")(x))
     assert np.array_equal(ref, out)
 
 

@@ -1,0 +1,167 @@
+"""Build the shipped model zoo under ``checkpoints/`` (VERDICT r3 missing #1).
+
+The reference ships its trained artifacts in-repo — ``yoloface.h5``,
+``yoloface.pb``, ``yoloface-50k.onnx``, ``yoloface_int8.tflite``
+(``/root/reference/yoloface/tensorflow/``, ``tflite/``, ``pytorch/``) — so a
+user can run detection without training.  This script produces the
+framework's own equivalents from the real-faces corpus closure
+(``examples/train_corpus.py``): train from scratch on the pseudo-labeled
+24-image corpus, then export every artifact format the reference ships,
+verify each one, and write a detection report.
+
+Outputs (all committed):
+  checkpoints/yoloface_corpus.msgpack      trained Flax variables
+                                           (flax.serialization, params +
+                                           batch_stats)
+  checkpoints/yoloface_corpus.h5           Keras twin (io/keras_export)
+  checkpoints/yoloface_corpus.pb           frozen GraphDef (Input/Identity
+                                           convention, like the reference's
+                                           yoloface.pb)
+  checkpoints/yoloface_corpus.onnx         dependency-free ONNX export,
+                                           executed by io/onnx_eval as a
+                                           check
+  checkpoints/yoloface_corpus_int8.tflite  native-PTQ int8 flatbuffer —
+                                           loads in the STOCK TFLite
+                                           interpreter (verified here)
+  checkpoints/ZOO_REPORT.json              recall vs the shipped detector's
+                                           pseudo-labels + per-artifact
+                                           verification results
+
+Run: python tools/make_zoo.py [--steps 600]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "checkpoints")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--lr", type=float, default=3e-3)
+    args = p.parse_args(argv)
+
+    import examples.train_corpus as tc
+
+    os.makedirs(OUT, exist_ok=True)
+    report = {"steps": args.steps}
+
+    images = tc.load_corpus()
+    labels = tc.pseudo_labels(images)
+    report["n_images"] = len(images)
+    report["n_faces"] = int(sum(len(x) for x in labels))
+    print(f"corpus: {report['n_images']} images, {report['n_faces']} faces")
+
+    state = tc.train(images, labels, steps=args.steps, lr=args.lr)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+
+    # 1) trained checkpoint (flax msgpack — loadable without orbax)
+    from flax import serialization
+    ckpt_path = os.path.join(OUT, "yoloface_corpus.msgpack")
+    with open(ckpt_path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+    # round-trip check
+    with open(ckpt_path, "rb") as f:
+        restored = serialization.from_bytes(variables, f.read())
+    chk = jax_tree_equal(variables, restored)
+    report["checkpoint"] = {"path": rel(ckpt_path), "roundtrip_ok": chk}
+    print("checkpoint:", report["checkpoint"])
+
+    # 2) int8 tflite via the native PTQ flow, verified in the STOCK
+    #    interpreter (the artifact a reference user would deploy)
+    from yoloface_tpu.io.tflite_export import save_tflite
+    graph = tc.deploy_native(state, images)
+    tfl_path = os.path.join(OUT, "yoloface_corpus_int8.tflite")
+    save_tflite(graph, tfl_path)
+    import tensorflow as tf
+    interp = tf.lite.Interpreter(model_path=tfl_path)
+    interp.allocate_tensors()
+    x = np.clip(np.round(images * 255) - 128, -128, 127).astype(np.int8)
+    inp = interp.get_input_details()[0]
+    interp.set_tensor(inp["index"], x[:1])
+    interp.invoke()
+    stock_out = interp.get_tensor(interp.get_output_details()[0]["index"])
+    # bit-parity of the engine vs the stock interpreter on this artifact
+    from yoloface_tpu.io.tflite_import import load_tflite
+    from yoloface_tpu.runtime.engine import Int8Engine
+    eng_out = np.asarray(Int8Engine(load_tflite(tfl_path),
+                                    mode="exact")(x[:1]))
+    recall = tc.evaluate_deployed(graph, images, labels)
+    report["int8_tflite"] = {
+        "path": rel(tfl_path),
+        "stock_interpreter_loads": True,
+        "engine_bitexact_vs_stock": bool(np.array_equal(stock_out, eng_out)),
+        **recall,
+    }
+    print("int8 tflite:", report["int8_tflite"])
+
+    # 3) Keras h5 + frozen pb
+    from yoloface_tpu.io.keras_export import flax_to_keras, h5_to_frozen_pb
+    h5_path = os.path.join(OUT, "yoloface_corpus.h5")
+    pb_path = os.path.join(OUT, "yoloface_corpus.pb")
+    model = flax_to_keras(state["params"], state["batch_stats"])
+    model.save(h5_path)
+    h5_to_frozen_pb(h5_path, pb_path)
+    from yoloface_tpu.runtime.float_engine import load_frozen_pb
+    pb_fn = load_frozen_pb(pb_path)
+    keras_out = np.asarray(model(images[:2]))
+    pb_out = np.asarray(pb_fn(images[:2]))
+    report["keras_h5"] = {"path": rel(h5_path)}
+    report["frozen_pb"] = {
+        "path": rel(pb_path),
+        "matches_h5": bool(np.allclose(keras_out, pb_out, atol=1e-5)),
+    }
+    print("h5/pb:", report["frozen_pb"])
+
+    # 4) ONNX (+ executed check vs the float forward)
+    from yoloface_tpu.io.onnx_export import export_onnx
+    from yoloface_tpu.quantize.calibrate import fold_batchnorm
+    onnx_path = os.path.join(OUT, "yoloface_corpus.onnx")
+    template = load_tflite(tc.TFLITE)
+    weights = fold_batchnorm(variables)
+    buf = export_onnx(template, weights)
+    with open(onnx_path, "wb") as f:
+        f.write(buf)
+    onnx_chk = tc.onnx_closure(state, images[:4])
+    report["onnx"] = {"path": rel(onnx_path), **onnx_chk}
+    print("onnx:", report["onnx"])
+
+    rep_path = os.path.join(OUT, "ZOO_REPORT.json")
+    with open(rep_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", rep_path)
+    ok = (report["int8_tflite"]["engine_bitexact_vs_stock"]
+          and report["int8_tflite"]["recall"] >= 0.9
+          and report["frozen_pb"]["matches_h5"]
+          and report["onnx"]["onnx_ok"]
+          and report["checkpoint"]["roundtrip_ok"])
+    print("ZOO OK" if ok else "ZOO FAILED")
+    return 0 if ok else 1
+
+
+def rel(p):
+    return os.path.relpath(p, os.path.dirname(OUT))
+
+
+def jax_tree_equal(a, b) -> bool:
+    import jax
+    leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    return (len(leaves_a) == len(leaves_b)
+            and all(np.array_equal(np.asarray(x), np.asarray(y))
+                    for x, y in zip(leaves_a, leaves_b)))
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.exit(main())

@@ -97,6 +97,43 @@ def main():
             print(f"plan[:{k}]: {ms:8.2f} ms  (marginal "
                   f"{ms - prev:7.2f})  outs={outs}", flush=True)
             prev = ms
+    elif cmd == "sweep448":
+        # hybrid-routing sweep for the 448 scale family: time the full
+        # retargeted net (engine __call__, NHWC in — honest serving
+        # comparison) for XLA fast2, pure tiled, and candidate
+        # YOLOFACE_TPU_TILE_XLA routings; print the winner so the best
+        # split can be baked into DEFAULT_TILE_XLA (VERDICT r3 #2).
+        from yoloface_tpu.graph.retarget import retarget_spatial
+
+        n = batch if batch <= 8192 else 1024
+        g448 = retarget_spatial(graph, 8)
+        rng = np.random.default_rng(0)
+        x448 = rng.integers(-128, 128, (n, 448, 448, 3)).astype(np.int8)
+        routings = (sys.argv[3].split(";") if len(sys.argv) > 3 else
+                    ["XLA", "none", "0", "3", "0,3", "0,1,3", "suffix",
+                     "0,3,suffix", "0,1,3,suffix"])
+        best = (None, float("inf"))
+        for r in routings:
+            try:
+                if r == "XLA":
+                    eng = Int8Engine(g448, mode="fast2")
+                    label = "fast2 (stock XLA)"
+                else:
+                    _os.environ["YOLOFACE_TPU_TILE_XLA"] = r
+                    try:
+                        eng = Int8Engine(g448, mode="pallas_tiled2")
+                    finally:
+                        del _os.environ["YOLOFACE_TPU_TILE_XLA"]
+                    label = f"tiled2 xla={r!r}"
+                ms = net_ms(eng, x448, iters=5)
+                print(f"{label:>28s}: {ms:8.2f} ms @ batch {n}"
+                      f"  ({n / ms * 1e3:,.0f} fps)", flush=True)
+                if ms < best[1]:
+                    best = (r, ms)
+            except Exception as e:  # noqa: BLE001 - sweep must finish
+                print(f"{r:>28s}: FAILED {str(e).splitlines()[0][:120]}",
+                      flush=True)
+        print(f"winner: {best[0]!r} at {best[1]:.2f} ms", flush=True)
     elif cmd == "modes":
         modes = (sys.argv[3].split(",") if len(sys.argv) > 3 else
                  ["fast", "pallas", "pallas_fused"])

@@ -97,6 +97,21 @@ def main():
         if mode in tiled:
             print("448", mode, tiled[mode], flush=True)
 
+    # pure-tiled entry: the framework's OWN kernels end to end, even when
+    # DEFAULT_TILE_XLA bakes a hybrid routing into the plain modes
+    _os.environ["YOLOFACE_TPU_TILE_XLA"] = "none"
+    try:
+        y = np.asarray(Int8Engine(g448, mode="pallas_tiled2")(x448))
+        tiled["pallas_tiled2_pure"] = {
+            "compiled": True,
+            "bit_exact_vs_twin": bool(np.array_equal(y, twin448["fast2"]))}
+    except Exception as e:  # noqa: BLE001 - record, don't hide
+        tiled["pallas_tiled2_pure"] = {"compiled": False,
+                                       "error": str(e).splitlines()[0][:200]}
+    finally:
+        del _os.environ["YOLOFACE_TPU_TILE_XLA"]
+    print("448 pallas_tiled2_pure", tiled["pallas_tiled2_pure"], flush=True)
+
     # fast-bits modes legitimately differ from the reference kernels by
     # float-rounding drift; exact-bits modes must match the oracle, and
     # EVERY mode must match its semantics twin ("fast"/"exact") in hardware

@@ -37,6 +37,8 @@ __all__ = [
     "multiply_by_quantized_multiplier",
     "multiply_by_quantized_multiplier_bounded",
     "multiply_by_quantized_multiplier_bounded_preshift",
+    "mbqm_numpy",
+    "derive_single_multiply",
     "BOUNDED_MAX_ABS",
 ]
 
@@ -127,6 +129,102 @@ def rounding_divide_by_pot(x, exponent):
     return (x >> exponent) + (remainder > threshold).astype(jnp.int32)
 
 
+# --------------------------------------------------------------------------
+# Host-side (plan time): numpy oracle + single-multiply form derivation
+# --------------------------------------------------------------------------
+def mbqm_numpy(x, qm: int, shift: int) -> np.ndarray:
+    """Plan-time numpy int64 twin of ``multiply_by_quantized_multiplier``.
+
+    Bit-exact by the same magnitude formulation the device limb kernel uses
+    (property-tested against it): SRDHM as ``(p + 2**30 - neg) >> 31`` on the
+    magnitude, RDivPOT folded as ``(mag + 2**(right-1)) >> right`` (half away
+    from zero is odd-symmetric).  Exists so graph lowering can evaluate exact
+    requant maps over small domains WITHOUT dispatching device ops (engine
+    construction may run in a TPU-backend process where every eager jnp call
+    is a ~24 ms tunnel round trip)."""
+    x = np.asarray(x, np.int64) << max(int(shift), 0)
+    right = max(-int(shift), 0)
+    neg = x < 0
+    p = np.abs(x) * np.int64(qm)                  # < 2**62
+    mag = (p + np.int64((1 << 30)) - neg) >> 31
+    if right:
+        mag = (mag + np.int64(1 << (right - 1))) >> right
+    return np.where(neg, -mag, mag)
+
+
+def derive_single_multiply(qm_id: int, sh_id: int, qm_al: int, sh_al: int,
+                           zp_in: int, zp_out: int):
+    """Derive a verified single-multiply int32 form of the exact two-branch
+    requant map ``v -> clip(MBQM(v, qm_b, sh_b) + zp_out)`` over the 256-value
+    domain ``v in [-128 - zp_in, 127 - zp_in]`` (branch b = id for v >= 0,
+    al for v < 0 — the fused conv->LEAKY epilogue's exact semantics; pass
+    ``qm_id == qm_al`` for a single-branch requantize like QUANTIZE).
+
+    Returns ``(k, m_id, c_id, m_al, c_al)`` such that
+
+        a  = |v|;  m, c = (m_id, c_id) if v >= 0 else (m_al, c_al)
+        t  = (a * m + c) >> k                     # one int32 multiply
+        out = clip((-t if v < 0 else t) + zp_out, -128, 127)
+
+    reproduces the exact chain for EVERY v in the domain (exhaustively
+    verified here — the nested-floor identity makes the composed double
+    rounding a single floor, so a reduced multiplier is exact whenever the
+    per-a constant intervals intersect, which the tiny domain makes near
+    certain), or ``None`` when no (k, m, c) qualifies.  All intermediates
+    fit int32 by construction (``a*m + c <= 2**31 - 1`` is enforced).
+
+    This replaces the leaky epilogue's 2-multiply bounded MBQM (u32 + f32
+    product assembly, ~16 VPU ops) with ~9 int32 ops and ONE multiply —
+    the round-4 exact-bits lever (docs/PROFILE.md "nested-floor" note).
+    """
+    v = np.arange(-128 - zp_in, 128 - zp_in, dtype=np.int64)
+    pos, neg = v[v >= 0], v[v < 0]
+    # shared k keeps the kernel's shift a static python scalar
+    for k in (22, 21, 20, 19, 18):
+        r_id = _sm_branch_at_k(pos, qm_id, sh_id, zp_out, k)
+        r_al = _sm_branch_at_k(neg, qm_al, sh_al, zp_out, k)
+        if r_id is not None and r_al is not None:
+            return (k, r_id[0], r_id[1], r_al[0], r_al[1])
+    return None
+
+
+def _sm_branch_at_k(vv, qm, sh, zp_out, k):
+    """One branch of :func:`derive_single_multiply` at a fixed k: find
+    ``(m, c)`` with ``(|v|*m + c) >> k`` reproducing the exact magnitude map
+    over this branch's domain (empty domain: trivially (1, 0)).  The search
+    intersects the per-|v| intervals of admissible c (each target t2 admits
+    ``c in [t2lo*2**k - a*m, (t2hi+1)*2**k - 1 - a*m]``) and re-verifies the
+    winner exhaustively."""
+    if vv.size == 0:
+        return 1, 0
+    a = np.abs(vv)
+    t_exact = mbqm_numpy(vv, qm, sh)              # signed, sign == sign(vv)
+    f = np.clip(t_exact + zp_out, -128, 127)      # final int8 target
+    # allowed SIGNED t window from the clipped target (clip saturation
+    # frees the corresponding side)
+    lo = np.where(f == -128, np.int64(-(1 << 40)), f - zp_out)
+    hi = np.where(f == 127, np.int64(1 << 40), f - zp_out)
+    if (vv < 0).any():                            # t_signed = -t2 here
+        lo, hi = -hi, -lo
+    t2lo, t2hi = np.maximum(lo, 0), hi
+    sigma = qm * 2.0 ** (sh - 31)                 # exact real slope
+    amax = int(a.max())
+    m0 = int(round(sigma * (1 << k)))
+    for m in (m0, m0 - 1, m0 + 1, m0 - 2, m0 + 2):
+        if m <= 0 or amax * m >= (1 << 31):
+            continue
+        clo = int(np.maximum(t2lo * (1 << k) - a * m, 0).max())
+        chi = int(np.minimum((t2hi + 1) * (1 << k) - 1 - a * m,
+                             (1 << 31) - 1 - amax * m).min())
+        if clo > chi:
+            continue
+        t2 = (a * m + clo) >> k
+        got = np.where(vv < 0, -t2, t2)
+        if (np.clip(got + zp_out, -128, 127) == f).all():
+            return m, clo
+    return None
+
+
 # Largest |x| for which the f32-assisted bounded path below is exact.
 # Error budget: p = |x| * qm < 2**19 * 2**31 = 2**50; the f32 product chain
 # carries <= ~3 ulp(p) <= 3 * 2**26 ~ 2**28 absolute error, and exact
@@ -203,6 +301,12 @@ def multiply_by_quantized_multiplier_bounded_preshift(x, qm, shift, pre):
     assembled in (hi, lo) words.  Requires |x| < 2**10, 0 < pre <= 20,
     and shift <= 0 (true for the ADD's input rescales: s_i/(2*max) <= 0.5).
     """
+    # `pre` is Python-static: enforce the documented contract here —
+    # pre == 0 would make `lo0 >> (32 - upre)` an undefined 32-bit shift,
+    # and the e=31 rounding below silently assumes no left shift (the
+    # shift <= 0 half of the contract is asserted where `shift` is still
+    # static, in the callers' plan-time specs).  (ADVICE r3)
+    assert 0 < pre <= 20, f"bounded_preshift requires 0 < pre <= 20, got {pre}"
     x = jnp.asarray(x, jnp.int32)
     qm = jnp.asarray(qm, jnp.int32)
     shift = jnp.asarray(shift, jnp.int32)

@@ -88,12 +88,60 @@ class MonitorState:
                 "avg_faces": (self.total_faces / self.frames
                               if self.frames else 0.0)}
 
+    def render_png(self, path: str, display: int = 112) -> None:
+        """Rendered dashboard image — the graphical twin of the reference
+        GUI's live view: the scaled box-render canvas (main.py:474-552)
+        next to the rolling face-count history chart (main.py:448-472).
+        Written from the live monitor loop via ``--save-png`` so headless
+        runs still produce the GUI's visual artifact."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib import patches
+
+        fig, (ax_c, ax_h) = plt.subplots(
+            1, 2, figsize=(8, 4),
+            gridspec_kw={"width_ratios": [1, 1.2]})
+        f = self.last_frame
+        ax_c.set_title(f"frame {f.number}: {f.total} face(s)"
+                       if f else "waiting for frames")
+        ax_c.set_xlim(0, display)
+        ax_c.set_ylim(display, 0)                 # image coordinates
+        ax_c.set_aspect("equal")
+        ax_c.set_facecolor("#202020")
+        if f:
+            for face in f.faces:
+                ax_c.add_patch(patches.Rectangle(
+                    (face.x1, face.y1), face.width, face.height,
+                    linewidth=1.5, edgecolor="#00ff66", facecolor="none"))
+                ax_c.text(face.x1, max(face.y1 - 2, 2),
+                          f"#{face.id} {face.confidence:.2f}",
+                          color="#00ff66", fontsize=7)
+        hist = list(self.history)
+        ax_h.plot(range(max(0, self.frames - len(hist)), self.frames),
+                  hist, marker="o", markersize=3, linewidth=1)
+        ax_h.set_title("face-count history")
+        ax_h.set_xlabel("frame")
+        ax_h.set_ylabel("faces")
+        ax_h.set_ylim(bottom=0)
+        fig.suptitle(f"session: {self.frames} frames, "
+                     f"{self.total_faces} faces")
+        fig.tight_layout()
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+
 
 def run_monitor(stream, render_every: int = 1, out=sys.stdout,
-                draw_canvas: bool = False) -> MonitorState:
-    """Consume protocol text chunks from an iterable; render to ``out``."""
+                draw_canvas: bool = False,
+                save_png: Optional[str] = None) -> MonitorState:
+    """Consume protocol text chunks from an iterable; render to ``out``.
+    ``save_png``: directory that receives a rendered dashboard image
+    (boxes + history chart) at every render point."""
     state = MonitorState()
     parser = protocol.StreamParser()
+    if save_png:
+        import os
+        os.makedirs(save_png, exist_ok=True)
     for chunk in stream:
         for frame in parser.feed(chunk):
             state.update(frame)
@@ -102,6 +150,10 @@ def run_monitor(stream, render_every: int = 1, out=sys.stdout,
                 if draw_canvas:
                     print(state.ascii_canvas(), file=out)
                 print("-" * 40, file=out)
+                if save_png:
+                    import os
+                    state.render_png(os.path.join(
+                        save_png, f"frame_{state.frames:05d}.png"))
     return state
 
 
@@ -174,6 +226,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int)
     p.add_argument("--render-every", type=int)
     p.add_argument("--canvas", action="store_true", default=None)
+    p.add_argument("--save-png", dest="save_png", metavar="DIR",
+                   help="write a rendered dashboard PNG (boxes + history "
+                        "chart) at every render point")
     p.add_argument("--tflite")
     args = p.parse_args(argv)
 
@@ -193,15 +248,18 @@ def main(argv=None):
 
     if args.source == "stdin":
         state = run_monitor(iter(sys.stdin.readline, ""),
-                            args.render_every, draw_canvas=args.canvas)
+                            args.render_every, draw_canvas=args.canvas,
+                            save_png=args.save_png)
     elif args.source == "socket":
         state = run_monitor(
             socket_stream(args.host, args.port, listen=args.listen),
-            args.render_every, draw_canvas=args.canvas)
+            args.render_every, draw_canvas=args.canvas,
+            save_png=args.save_png)
     elif args.source == "file":
         with open(args.file) as f:
             state = run_monitor([f.read()], args.render_every,
-                                draw_canvas=args.canvas)
+                                draw_canvas=args.canvas,
+                                save_png=args.save_png)
     else:
         from yoloface_tpu.host.streamer import (CameraStreamer,
                                                 directory_frames,
@@ -213,6 +271,9 @@ def main(argv=None):
                else directory_frames(args.dataset, args.batch_size))
         state = MonitorState()
         parser = protocol.StreamParser()
+        if args.save_png:
+            import os
+            os.makedirs(args.save_png, exist_ok=True)
 
         def on_frame(text):
             for frame in parser.feed(text):
@@ -222,6 +283,11 @@ def main(argv=None):
                     if args.canvas:
                         print(state.ascii_canvas())
                     print("-" * 40)
+                    if args.save_png:
+                        import os
+                        state.render_png(os.path.join(
+                            args.save_png,
+                            f"frame_{state.frames:05d}.png"))
 
         stats = CameraStreamer(pipe, src).run(args.batches,
                                               on_frame=on_frame)

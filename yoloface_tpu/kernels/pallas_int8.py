@@ -124,25 +124,51 @@ class RequantSpec:
         return jnp.clip(v + self.zp_out, -128, 127).astype(jnp.int8)
 
 
+def apply_requant_sm(v, sm):
+    """The derived single-multiply exact requant magnitude form on the
+    zero-point-free int32 value ``v`` (see
+    ``core.fixedpoint.derive_single_multiply``): ONE int32 multiply, no f32.
+    Returns the pre-zero-point int32 value; ONLY valid when the caller
+    applies the exact chain's ``clip(out + zp_out, -128, 127)`` afterwards —
+    the derivation's exhaustive verification covers that composition."""
+    k, m_id, c_id, m_al, c_al = sm
+    neg_sel = v < 0
+    a = jnp.where(neg_sel, -v, v)
+    m = jnp.where(neg_sel, jnp.int32(m_al), jnp.int32(m_id))
+    c = jnp.where(neg_sel, jnp.int32(c_al), jnp.int32(c_id))
+    t2 = (a * m + c) >> k                         # k is python-static
+    return jnp.where(neg_sel, -t2, t2)
+
+
 class LeakySpec:
-    """Scalar LEAKY_RELU constants (safe to close over in kernels)."""
+    """Scalar LEAKY_RELU constants (safe to close over in kernels).
+
+    Exact bits: when the plan-time single-multiply derivation succeeds
+    (``core.fixedpoint.derive_single_multiply`` — exhaustively verified over
+    the full 256-value input domain, which it always does for this graph's
+    17 leaky ops), ``sm = (k, m_id, c_id, m_al, c_al)`` replaces the
+    2-multiply bounded MBQM with ONE int32 multiply + shift: ~9 VPU ops and
+    no f32 round trip, bit-identical by construction."""
 
     def __init__(self, *, zp_in: int, zp_out: int, s_id: float, s_al: float,
                  qm_id=None, sh_id=None, qm_al=None, sh_al=None,
-                 exact: bool = False):
+                 exact: bool = False, sm=None):
         self.zp_in, self.zp_out = int(zp_in), int(zp_out)
         self.s_id, self.s_al = float(s_id), float(s_al)
         self.qm_id, self.sh_id = qm_id, sh_id
         self.qm_al, self.sh_al = qm_al, sh_al
         self.exact = exact
+        self.sm = sm
 
-    def apply(self, t_i8):
-        v = t_i8.astype(jnp.int32) - self.zp_in
-        if self.exact:
-            # select (qm, shift) per element FIRST, then run ONE fixed-point
-            # chain — elementwise-identical to computing both branches and
-            # selecting after, at half the SRDHM cost
-            neg_sel = v < 0
+    def apply_exact_i32(self, v):
+        """Exact leaky on the zero-point-free int32 value ``v`` (domain
+        [-128 - zp_in, 127 - zp_in]); returns int8 output."""
+        neg_sel = v < 0
+        if self.sm is not None:
+            out = apply_requant_sm(v, self.sm)
+        else:
+            # select (qm, shift) per element FIRST, then ONE fixed-point
+            # chain — half the SRDHM cost of computing both branches
             qm = jnp.where(neg_sel, jnp.int32(self.qm_al),
                            jnp.int32(self.qm_id))
             sh = jnp.where(neg_sel, jnp.int32(self.sh_al),
@@ -150,6 +176,12 @@ class LeakySpec:
             # |v| <= 255 + |zp_in| << BOUNDED_MAX_ABS: always eligible for
             # the 2-multiply bounded MBQM
             out = multiply_by_quantized_multiplier_bounded(v, qm, sh)
+        return jnp.clip(out + self.zp_out, -128, 127).astype(jnp.int8)
+
+    def apply(self, t_i8):
+        v = t_i8.astype(jnp.int32) - self.zp_in
+        if self.exact:
+            return self.apply_exact_i32(v)
         else:
             vf = v.astype(jnp.float32)
             sel = jnp.where(v >= 0, np.float32(self.s_id),
@@ -225,19 +257,15 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
     # clip(v+zp)-zp folds to ONE clip with shifted bounds (bit-identical)
     v = jnp.clip(v, -128 - requant.zp_out, 127 - requant.zp_out)
     if leaky.exact:
-        neg_sel = v < 0
-        qm = jnp.where(neg_sel, jnp.int32(leaky.qm_al),
-                       jnp.int32(leaky.qm_id))
-        sh = jnp.where(neg_sel, jnp.int32(leaky.sh_al),
-                       jnp.int32(leaky.sh_id))
-        out = multiply_by_quantized_multiplier_bounded(v, qm, sh)
-    else:
-        vf = v.astype(jnp.float32)
-        # select the scalar factor, then ONE multiply (bit-identical to
-        # selecting between the two products; saves a full-tensor multiply)
-        sel = jnp.where(v >= 0, np.float32(leaky.s_id),
-                        np.float32(leaky.s_al))
-        out = jnp.round(vf * sel).astype(jnp.int32)
+        # single-multiply form when derived at plan time, bounded MBQM
+        # fallback — both bit-identical to the staged exact chain
+        return leaky.apply_exact_i32(v)
+    vf = v.astype(jnp.float32)
+    # select the scalar factor, then ONE multiply (bit-identical to
+    # selecting between the two products; saves a full-tensor multiply)
+    sel = jnp.where(v >= 0, np.float32(leaky.s_id),
+                    np.float32(leaky.s_al))
+    out = jnp.round(vf * sel).astype(jnp.int32)
     return jnp.clip(out + leaky.zp_out, -128, 127).astype(jnp.int8)
 
 

@@ -81,6 +81,13 @@ _CHUNK_TARGET = int(os.environ.get("YOLOFACE_TPU_TILE_CHUNK", 16 << 20))
 # (stride-2 via value split-reshape), so larger tiles are legal and
 # amortize per-grid-step overheads at the cost of 2x VMEM per view.
 _TILE_NT = int(os.environ.get("YOLOFACE_TPU_TILE_NT", NT))
+# default hybrid routing for tiled plans: section indices (or 'suffix')
+# handed to the XLA twin lowering.  '' = pure tiled until the round-4
+# hardware sweep pins the per-section winner map (docs/PROFILE.md round-3
+# attribution: stem/transitions favored XLA, the deep 112 chain favored
+# tiled) — the measured winner gets baked here so pallas_tiled2 IS the
+# best configuration out of the box.
+DEFAULT_TILE_XLA = ""
 
 NOPAD = ((0, 0), (0, 0))
 
@@ -645,6 +652,14 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
             (pl_w, _), (ph0, ph1) = pads
 
             if name == "CONV_2D" and wd.shape[1] == wd.shape[2] == 1:
+                if stride != 1:
+                    # the 1x1 lowering assumes stride 1 (its consumer
+                    # record hardcodes s=1); strided 1x1 convs are legal
+                    # in darknet cfgs — fail loudly instead of lowering
+                    # silently wrong (ADVICE r3)
+                    raise NotImplementedError(
+                        f"tiled 1x1 conv with stride {stride} (op "
+                        f"{op.index}); only stride 1 is lowered")
                 co, ci = wd.shape[0], wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
@@ -783,15 +798,23 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
             in_q, out_q = t(x_idx).qparams, out_t.qparams
             ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
             spec = {"exact": exact, "zp_in": in_q.zero_point,
-                    "zp_out": out_q.zero_point}
+                    "zp_out": out_q.zero_point, "sm": None}
             if exact:
                 spec["qm"], spec["sh"] = quantize_multiplier(ratio)
+                from yoloface_tpu.core.fixedpoint import \
+                    derive_single_multiply
+                spec["sm"] = derive_single_multiply(
+                    spec["qm"], spec["sh"], spec["qm"], spec["sh"],
+                    in_q.zero_point, out_q.zero_point)
             else:
                 spec["scale"] = np.float32(ratio)
 
             def q_val(v, spec=spec):
+                from yoloface_tpu.kernels.pallas_int8 import apply_requant_sm
                 v = v.astype(jnp.int32) - spec["zp_in"]
-                if spec["exact"]:
+                if spec["exact"] and spec["sm"] is not None:
+                    o = apply_requant_sm(v, spec["sm"])
+                elif spec["exact"]:
                     o = multiply_by_quantized_multiplier_bounded(
                         v, jnp.int32(spec["qm"]), jnp.int32(spec["sh"]))
                 else:
@@ -1125,9 +1148,17 @@ def build_tiled_plan(graph: GraphDef, exact: bool,
     if not sections:                  # small graph: plain arena
         return build_arena_plan(graph, exact, layout="whcn", v2=v2)
 
-    # hybrid sweep knob: comma list of section indices (or 'suffix') to
-    # run on the XLA twin lowering instead of the tiled kernels
-    xla_secs = set(os.environ.get("YOLOFACE_TPU_TILE_XLA", "").split(","))
+    # hybrid routing: comma list of section indices (or 'suffix') to run
+    # on the XLA twin lowering instead of the tiled kernels.  The default
+    # is the measured per-section winner map (DEFAULT_TILE_XLA below);
+    # env YOLOFACE_TPU_TILE_XLA overrides for sweeps ('' = pure tiled,
+    # 'none' = explicit pure tiled).
+    raw = os.environ.get("YOLOFACE_TPU_TILE_XLA")
+    if raw is None:
+        raw = DEFAULT_TILE_XLA
+    elif raw == "none":
+        raw = ""
+    xla_secs = set(raw.split(","))
 
     plan: List[Callable] = []
     all_groups = sections + ([suffix] if suffix else [])

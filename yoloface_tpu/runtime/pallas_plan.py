@@ -21,7 +21,8 @@ from typing import Callable, List
 
 import numpy as np
 
-from yoloface_tpu.core.fixedpoint import (quantize_multiplier,
+from yoloface_tpu.core.fixedpoint import (derive_single_multiply,
+                                          quantize_multiplier,
                                           quantize_multiplier_arr)
 from yoloface_tpu.graph.ir import GraphDef, OpDef
 from yoloface_tpu.kernels import pallas_int8 as pk
@@ -47,6 +48,11 @@ def _leaky_spec(graph: GraphDef, leaky_op: OpDef, exact) -> pk.LeakySpec:
     if exact:
         kw["qm_id"], kw["sh_id"] = quantize_multiplier(ratio)
         kw["qm_al"], kw["sh_al"] = quantize_multiplier(ratio * alpha)
+        # plan-time single-multiply derivation (exhaustively verified over
+        # the 256-value domain); None falls back to the bounded MBQM
+        kw["sm"] = derive_single_multiply(
+            kw["qm_id"], kw["sh_id"], kw["qm_al"], kw["sh_al"],
+            in_q.zero_point, out_q.zero_point)
     return pk.LeakySpec(**kw)
 
 
