@@ -157,6 +157,19 @@ def main():
     if os.environ.get("BENCH_448", "1") != "0":
         from yoloface_tpu.graph.retarget import retarget_spatial
         g448 = retarget_spatial(graph, 8)
+
+        def graph_macs(g):
+            """Static MACs/frame (the reference's codegen MACC report
+            role, network_generate_report.txt:488-515)."""
+            total = 0
+            for op in g.ops:
+                if op.opname in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+                    w = g.tensor(op.inputs[1]).data
+                    o = g.tensor(op.outputs[0]).shape
+                    ci = w.shape[3] if op.opname == "CONV_2D" else 1
+                    total += o[1] * o[2] * o[3] * w.shape[1] * w.shape[2] * ci
+            return total
+        macs448 = graph_macs(g448)
         n448 = int(os.environ.get("BENCH_448_BATCH", "1024"))
         x448 = jax.jit(lambda: jax.random.randint(
             jax.random.key(2), (n448, 448, 448, 3), -128, 128,
@@ -171,10 +184,29 @@ def main():
                        f"compiling 448 mode {mode}", deadline)
             t0 = time.perf_counter()
             for _ in range(5):
-                r = s(x448)
-            int(r)
+                int(s(x448))               # sync per batch (fetch each)
             dt = (time.perf_counter() - t0) / 5
             scale448[mode] = round(n448 / dt, 1)
+            # serving throughput: one-batch-deep pipelining, same
+            # methodology as the 56-px flagship number above
+            t0 = time.perf_counter()
+            r = s(x448)
+            for _ in range(2, 6):
+                nxt = s(x448)
+                int(r)
+                r = nxt
+            int(r)
+            dt = (time.perf_counter() - t0) / 5
+            scale448[mode + "_pipelined"] = round(n448 / dt, 1)
+        # achieved int8 TOPS at the best pipelined fps, next to the
+        # intrinsic ~1.74-TOPS ceiling analysis (docs/PROFILE.md): the
+        # graph's depthwise convs are VPU-bound and its 1x1 contractions
+        # use K = 4..48 of the MXU's 128-wide axis, so the ceiling is
+        # architectural, not a compiler artifact
+        best = max((v for k, v in scale448.items()
+                    if k.endswith("_pipelined")), default=0.0)
+        scale448["achieved_int8_tops"] = round(2 * macs448 * best / 1e12, 3)
+        scale448["macs_per_frame"] = macs448
 
     print(json.dumps({
         "metric": "fused_pipeline_frames_per_sec_per_chip",

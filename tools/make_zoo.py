@@ -83,7 +83,13 @@ def main(argv=None):
     tfl_path = os.path.join(OUT, "yoloface_corpus_int8.tflite")
     save_tflite(graph, tfl_path)
     import tensorflow as tf
-    interp = tf.lite.Interpreter(model_path=tfl_path)
+    # BUILTIN_REF = the parity oracle; the default (XNNPACK/ruy) backend
+    # uses single rounding and drifts by +-1 int8 step (CLAUDE.md) — the
+    # bit-exactness claim is against the reference kernels
+    interp = tf.lite.Interpreter(
+        model_path=tfl_path,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType.BUILTIN_REF))
     interp.allocate_tensors()
     x = np.clip(np.round(images * 255) - 128, -128, 127).astype(np.int8)
     inp = interp.get_input_details()[0]
@@ -111,7 +117,7 @@ def main(argv=None):
     model = flax_to_keras(state["params"], state["batch_stats"])
     model.save(h5_path)
     h5_to_frozen_pb(h5_path, pb_path)
-    from yoloface_tpu.runtime.float_engine import load_frozen_pb
+    from yoloface_tpu.io.keras_export import load_frozen_pb
     pb_fn = load_frozen_pb(pb_path)
     keras_out = np.asarray(model(images[:2]))
     pb_out = np.asarray(pb_fn(images[:2]))

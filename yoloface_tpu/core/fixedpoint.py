@@ -36,6 +36,7 @@ __all__ = [
     "rounding_divide_by_pot",
     "multiply_by_quantized_multiplier",
     "multiply_by_quantized_multiplier_bounded",
+    "multiply_by_quantized_multiplier_bounded_mag",
     "multiply_by_quantized_multiplier_bounded_preshift",
     "mbqm_numpy",
     "derive_single_multiply",
@@ -178,7 +179,13 @@ def derive_single_multiply(qm_id: int, sh_id: int, qm_al: int, sh_al: int,
     the round-4 exact-bits lever (docs/PROFILE.md "nested-floor" note).
     """
     v = np.arange(-128 - zp_in, 128 - zp_in, dtype=np.int64)
-    pos, neg = v[v >= 0], v[v < 0]
+    # v == 0 is included in BOTH branches: the true map routes 0 to the
+    # id branch, but the fused sign-from-accumulator epilogue
+    # (pallas_int8.apply_requant_leaky) routes "negative input whose
+    # requant magnitude is 0" to the al branch — (m_al, c_al) must then
+    # reproduce the v == 0 output too (only tightens the interval
+    # intersection; all graph leakys still derive)
+    pos, neg = v[v >= 0], v[v <= 0]
     # shared k keeps the kernel's shift a static python scalar
     for k in (22, 21, 20, 19, 18):
         r_id = _sm_branch_at_k(pos, qm_id, sh_id, zp_out, k)
@@ -233,8 +240,13 @@ def _sm_branch_at_k(vv, qm, sh, zp_out, k):
 BOUNDED_MAX_ABS = 1 << 19
 
 
-def multiply_by_quantized_multiplier_bounded(x, qm, shift):
-    """Bit-exact ``MultiplyByQuantizedMultiplier`` fast path for bounded x.
+def multiply_by_quantized_multiplier_bounded_mag(x, qm, shift):
+    """Bit-exact ``MultiplyByQuantizedMultiplier`` fast path for bounded x,
+    returned in ``(neg, magnitude)`` form: ``where(neg, -mag, mag)`` is the
+    signed result and ``neg == (x < 0)``.  NOTE a zero magnitude can carry
+    ``neg=True`` — a caller fusing the sign into a downstream two-branch
+    map must make its negative branch exact at magnitude 0
+    (``derive_single_multiply`` guarantees this for the leaky epilogue).
 
     Requires |x| <= ``BOUNDED_MAX_ABS`` (caller-guaranteed, e.g. from the
     static per-channel conv accumulator bound sum(|w|)*128 + |bias|).  Uses
@@ -263,12 +275,16 @@ def multiply_by_quantized_multiplier_bounded(x, qm, shift):
     # high word p >> 32, exactly: the f32 product approximates p to within
     # ~2**27; subtracting only lo's top-2-bit contribution (int32-safe cast,
     # unlike a full uint32->f32 cast which Mosaic can't lower) leaves a
-    # fractional residue in [0, 0.25) + ~2**-5 error -> round() is exact.
-    approx = ua_i.astype(jnp.float32) * qm.astype(jnp.float32)
-    lo_top2 = (lo >> 30).astype(jnp.int32).astype(jnp.float32)
-    hi = jnp.round(approx * jnp.float32(2.0 ** -32)
-                   - lo_top2 * jnp.float32(0.25)).astype(jnp.int32) \
-           .astype(jnp.uint32)                        # p >> 32 (exact)
+    # fractional residue in [0, 0.25) + ~2**-5 error -> integer-round is
+    # exact.  Scalings folded: 2**-30 premultiplies qm (usually a [C,1]
+    # channel constant -> near-free) so everything computes at 4x scale —
+    # s = 4*hi_true + 4*delta with 4*delta in (-0.15, 1.17), hence
+    # round(s) in {4*hi_true, 4*hi_true + 1} and one >> 2 recovers hi
+    # exactly, replacing two full-tensor f32 multiplies with one.
+    qm_pre4 = qm.astype(jnp.float32) * jnp.float32(2.0 ** -30)
+    s4 = ua_i.astype(jnp.float32) * qm_pre4 \
+        - (lo >> 30).astype(jnp.int32).astype(jnp.float32)
+    hi = (jnp.round(s4).astype(jnp.int32) >> 2).astype(jnp.uint32)
 
     # SRDHM with the left shift folded into the rounding exponent e:
     #   pos: (p + 2**(e-1))     >> e
@@ -284,6 +300,12 @@ def multiply_by_quantized_multiplier_bounded(x, qm, shift):
     ur = right.astype(jnp.uint32)
     h = (jnp.uint32(1) << ur) >> 1
     mag2 = ((mag + h) >> ur).astype(jnp.int32)
+    return neg, mag2
+
+
+def multiply_by_quantized_multiplier_bounded(x, qm, shift):
+    """Signed result of the (neg, magnitude) form below."""
+    neg, mag2 = multiply_by_quantized_multiplier_bounded_mag(x, qm, shift)
     return jnp.where(neg, -mag2, mag2)
 
 
@@ -319,11 +341,12 @@ def multiply_by_quantized_multiplier_bounded_preshift(x, qm, shift, pre):
     ub = qm.astype(jnp.uint32)
 
     lo0 = ua * ub                                     # P0 mod 2**32
-    approx = ua_i.astype(jnp.float32) * qm.astype(jnp.float32)
-    lo_top2 = (lo0 >> 30).astype(jnp.int32).astype(jnp.float32)
-    hi0 = jnp.round(approx * jnp.float32(2.0 ** -32)
-                    - lo_top2 * jnp.float32(0.25)).astype(jnp.int32) \
-            .astype(jnp.uint32)                       # P0 >> 32 (exact)
+    # 4x-scaled high-word recovery (see the bounded variant above):
+    # |x| < 2**10 keeps the f32 error far inside the round margin
+    qm_pre4 = qm.astype(jnp.float32) * jnp.float32(2.0 ** -30)
+    s4 = ua_i.astype(jnp.float32) * qm_pre4 \
+        - (lo0 >> 30).astype(jnp.int32).astype(jnp.float32)
+    hi0 = (jnp.round(s4).astype(jnp.int32) >> 2).astype(jnp.uint32)
 
     hi = (hi0 << upre) | (lo0 >> (jnp.uint32(32) - upre))
     lo = lo0 << upre                                  # p = P0 << pre

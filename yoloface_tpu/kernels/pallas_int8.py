@@ -244,9 +244,30 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
         out = jnp.round(t * sel).astype(jnp.int32)
         return jnp.clip(out + leaky.zp_out, -128, 127).astype(jnp.int8)
     if requant.exact:
-        mbqm = (multiply_by_quantized_multiplier_bounded
-                if requant.bound is not None
-                and requant.bound <= BOUNDED_MAX_ABS
+        bounded = (requant.bound is not None
+                   and requant.bound <= BOUNDED_MAX_ABS)
+        if bounded and leaky.exact and leaky.sm is not None:
+            # fully-fused sign-from-accumulator chain: the conv requant's
+            # (neg, magnitude) feeds the leaky single-multiply form
+            # directly — skips the MBQM's final negate-select, the
+            # leaky-side re-abs, and the signed clip.  neg == (acc < 0);
+            # a zero magnitude under neg routes to the al branch, which
+            # derive_single_multiply made exact at magnitude 0.  The
+            # signed clip to [-128-zp, 127-zp] becomes a one-sided
+            # magnitude min against the sign's own bound.
+            from yoloface_tpu.core.fixedpoint import \
+                multiply_by_quantized_multiplier_bounded_mag
+            neg, mag = multiply_by_quantized_multiplier_bounded_mag(
+                acc_i32, p1.reshape(shape), p2.reshape(shape))
+            vmag = jnp.minimum(mag, jnp.where(
+                neg, jnp.int32(128 + requant.zp_out),
+                jnp.int32(127 - requant.zp_out)))
+            k, m_id, c_id, m_al, c_al = leaky.sm
+            t2 = (vmag * jnp.where(neg, jnp.int32(m_al), jnp.int32(m_id))
+                  + jnp.where(neg, jnp.int32(c_al), jnp.int32(c_id))) >> k
+            out = jnp.where(neg, -t2, t2)
+            return jnp.clip(out + leaky.zp_out, -128, 127).astype(jnp.int8)
+        mbqm = (multiply_by_quantized_multiplier_bounded if bounded
                 else multiply_by_quantized_multiplier)
         v = mbqm(acc_i32, p1.reshape(shape), p2.reshape(shape))
     else:
