@@ -2,6 +2,7 @@
 engine, detections identical on the whole calibration corpus."""
 
 import numpy as np
+import pytest
 
 from yoloface_tpu.pipeline.e2e import FacePipeline
 from yoloface_tpu.runtime.engine import Int8Engine
@@ -63,6 +64,7 @@ def test_invalid_mode_rejected(int8_graph):
 
 
 # ---------------------------------------------------------------- fast2
+@pytest.mark.slow
 def test_fast2_twin_bit_exact(int8_graph, dataset_images):
     """pallas_mxu2 (arena v2 epilogue) must be bit-identical to its XLA
     twin fast2 — the same lockstep contract as fast<->pallas_mxu."""

@@ -65,6 +65,7 @@ def test_engine_bit_exact_on_mlir_quantized_graph(converted):
         np.testing.assert_array_equal(y[i:i + 1], ref)
 
 
+@pytest.mark.slow
 def test_arena_modes_run_mlir_quantized_graph(converted):
     """The arena lowerings handle the converter-produced topology (concat
     without explicit QUANTIZE rescales) bit-identically to their twins."""

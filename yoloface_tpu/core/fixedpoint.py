@@ -304,7 +304,7 @@ def multiply_by_quantized_multiplier_bounded_mag(x, qm, shift):
 
 
 def multiply_by_quantized_multiplier_bounded(x, qm, shift):
-    """Signed result of the (neg, magnitude) form below."""
+    """Signed result of the (neg, magnitude) form above."""
     neg, mag2 = multiply_by_quantized_multiplier_bounded_mag(x, qm, shift)
     return jnp.where(neg, -mag2, mag2)
 
