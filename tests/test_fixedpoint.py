@@ -253,3 +253,65 @@ def test_single_multiply_form_random_params():
         want = _exact_two_branch(v, qm_id, sh_id, qm_al, sh_al, zp_out)
         np.testing.assert_array_equal(got, want)
     assert n_ok >= 50  # the tiny domain makes derivation near-certain
+
+
+def test_fused_sign_from_acc_epilogue_matches_staged_chain():
+    """The fully-fused exact conv+leaky epilogue (bounded-MBQM magnitude
+    feeding the leaky single-multiply form directly, skipping the
+    negate-select / re-abs / signed clip) is bit-identical to the staged
+    general-limb chain for every conv+leaky pair in the shipped graph,
+    over dense accumulator sweeps inside each layer's static bound."""
+    import jax.numpy as jnp
+
+    from yoloface_tpu.core.fixedpoint import multiply_by_quantized_multiplier
+    from yoloface_tpu.io.tflite_import import load_tflite
+    from yoloface_tpu.kernels.pallas_int8 import (LeakySpec, acc_bound,
+                                                  apply_requant_leaky)
+    from yoloface_tpu.runtime.pallas_plan import _leaky_spec, _requant_spec
+
+    g = load_tflite("/root/reference/yoloface/tflite/yoloface_int8.tflite")
+    rng = np.random.default_rng(3)
+    n_pairs = 0
+    for op in g.ops:
+        if op.opname not in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            continue
+        leaky_op = next((o for o in g.ops if o.opname == "LEAKY_RELU"
+                         and o.inputs[0] == op.outputs[0]), None)
+        if leaky_op is None:
+            continue
+        t = g.tensor
+        w, b = t(op.inputs[1]), t(op.inputs[2])
+        in_q, out_q = t(op.inputs[0]).qparams, t(op.outputs[0]).qparams
+        rq = _requant_spec(in_q.scale, w.qparams.scales, out_q.scale,
+                           out_q.zero_point, True)
+        lk = _leaky_spec(g, leaky_op, True)
+        assert lk.sm is not None
+        wd = w.data.astype(np.int64)
+        bias_eff = (b.data.astype(np.int64)
+                    - in_q.zero_point * wd.sum((1, 2, 3))).astype(np.int32)
+        rq.bound = acc_bound(np.abs(wd).sum((1, 2, 3)), bias_eff)
+        C = rq.p1.shape[0]
+        accs = np.concatenate([
+            np.arange(-800, 800),
+            rng.integers(-rq.bound, rq.bound + 1, 3000),
+            np.array([0, 1, -1, rq.bound, -rq.bound])]).astype(np.int32)
+        acc4 = np.broadcast_to(accs[None, :, None, None],
+                               (C, accs.size, 1, 1)).copy()
+        p1, p2 = rq.operands()
+        fused = np.asarray(apply_requant_leaky(rq, lk, jnp.asarray(acc4),
+                                               p1, p2))
+        # staged reference: general limb MBQM -> folded clip -> bounded
+        # leaky (sm disabled)
+        v = np.asarray(multiply_by_quantized_multiplier(
+            jnp.asarray(acc4), p1.reshape(C, 1, 1, 1),
+            p2.reshape(C, 1, 1, 1)))
+        v = np.clip(v, -128 - rq.zp_out, 127 - rq.zp_out)
+        lk_nosm = LeakySpec(zp_in=lk.zp_in, zp_out=lk.zp_out, s_id=lk.s_id,
+                            s_al=lk.s_al, qm_id=lk.qm_id, sh_id=lk.sh_id,
+                            qm_al=lk.qm_al, sh_al=lk.sh_al, exact=True,
+                            sm=None)
+        want = np.asarray(lk_nosm.apply_exact_i32(jnp.asarray(v)))
+        np.testing.assert_array_equal(fused, want,
+                                      err_msg=f"conv op {op.index}")
+        n_pairs += 1
+    assert n_pairs == 17
