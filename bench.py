@@ -49,7 +49,7 @@ TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
 # endpoint and retry the first device op for a bounded window before
 # failing loudly.  BENCH_TPU_WAIT_S=0 disables (e.g. CPU smoke runs).
 TPU_HEALTH_URL = "http://127.0.0.1:8083/health"
-TPU_WAIT_S = float(os.environ.get("BENCH_TPU_WAIT_S", "300"))
+TPU_WAIT_S = float(os.environ.get("BENCH_TPU_WAIT_S", "600"))
 
 
 def _tunnel_healthy(timeout=5.0):
@@ -59,6 +59,32 @@ def _tunnel_healthy(timeout=5.0):
             return r.status == 200
     except Exception:
         return False
+
+
+def _gate_on_tunnel(deadline):
+    """Block until the tunnel health endpoint answers, or fail loudly.
+
+    The round-3 outage raised UNAVAILABLE (caught by _retry_tpu); the
+    round-4 outage mode is WORSE — backend init simply HANGS (observed:
+    ``jax.devices()`` blocks forever while the health endpoint refuses
+    connections).  A hang never raises, so the retry wrapper can't save
+    us; gate on the health endpoint BEFORE the first device touch so the
+    bench either runs or fails with a diagnosable message within
+    BENCH_TPU_WAIT_S, never hangs the driver.
+    """
+    if TPU_WAIT_S <= 0 or _tunnel_healthy():
+        return
+    print("bench: TPU tunnel health endpoint not answering; waiting up to "
+          f"{TPU_WAIT_S:.0f}s before touching the backend...", file=sys.stderr)
+    while time.time() < deadline:
+        if _tunnel_healthy():
+            time.sleep(5)  # give the backend a beat after health returns
+            return
+        time.sleep(10)
+    raise RuntimeError(
+        f"TPU tunnel health endpoint ({TPU_HEALTH_URL}) still unreachable "
+        f"after {TPU_WAIT_S:.0f}s — backend init would hang; failing loudly "
+        "instead. Set BENCH_TPU_WAIT_S to adjust the window.")
 
 
 def _retry_tpu(fn, what, deadline):
@@ -98,6 +124,7 @@ def main():
     graph = load_tflite(TFLITE)
 
     deadline = time.time() + TPU_WAIT_S
+    _gate_on_tunnel(deadline)
 
     # two device-resident frame batches (alternate per iteration)
     gen = jax.jit(lambda seed: jax.random.bits(
