@@ -287,9 +287,11 @@ def test_fused_sign_from_acc_epilogue_matches_staged_chain():
         lk = _leaky_spec(g, leaky_op, True)
         assert lk.sm is not None
         wd = w.data.astype(np.int64)
+        axes = (1, 2, 3) if op.opname == "CONV_2D" else (0, 1, 2)
         bias_eff = (b.data.astype(np.int64)
-                    - in_q.zero_point * wd.sum((1, 2, 3))).astype(np.int32)
-        rq.bound = acc_bound(np.abs(wd).sum((1, 2, 3)), bias_eff)
+                    - in_q.zero_point * wd.sum(axes)).astype(np.int32)
+        abs_w_sum = np.abs(wd).sum(axes)
+        rq.bound = acc_bound(abs_w_sum, bias_eff)
         C = rq.p1.shape[0]
         accs = np.concatenate([
             np.arange(-800, 800),
@@ -297,9 +299,14 @@ def test_fused_sign_from_acc_epilogue_matches_staged_chain():
             np.array([0, 1, -1, rq.bound, -rq.bound])]).astype(np.int32)
         acc4 = np.broadcast_to(accs[None, :, None, None],
                                (C, accs.size, 1, 1)).copy()
+        # the reduced form's contract is the per-channel static bound
+        # (the only accumulators reachable at runtime): clip the sweep
+        bounds_c = (128 * np.abs(abs_w_sum.astype(np.int64))
+                    + np.abs(bias_eff.astype(np.int64))).reshape(-1)
+        if bounds_c.size == C:
+            acc4 = np.clip(acc4, -bounds_c[:, None, None, None],
+                           bounds_c[:, None, None, None]).astype(np.int32)
         p1, p2 = rq.operands()
-        fused = np.asarray(apply_requant_leaky(rq, lk, jnp.asarray(acc4),
-                                               p1, p2))
         # staged reference: general limb MBQM -> folded clip -> bounded
         # leaky (sm disabled)
         v = np.asarray(multiply_by_quantized_multiplier(
@@ -311,7 +318,125 @@ def test_fused_sign_from_acc_epilogue_matches_staged_chain():
                             qm_al=lk.qm_al, sh_al=lk.sh_al, exact=True,
                             sm=None)
         want = np.asarray(lk_nosm.apply_exact_i32(jnp.asarray(v)))
+        # bounded-MBQM fused chain (rsm not derived)
+        fused = np.asarray(apply_requant_leaky(rq, lk, jnp.asarray(acc4),
+                                               [p1, p2]))
         np.testing.assert_array_equal(fused, want,
                                       err_msg=f"conv op {op.index}")
+        # reduced pure-int32 chain (rsm derived from per-channel bounds)
+        rq.derive_rsm(abs_w_sum, bias_eff)
+        assert rq.rsm is not None, f"conv op {op.index}: rsm did not derive"
+        rq_ops = [np.asarray(a) for a in rq.operand_arrays()]
+        fused_rsm = np.asarray(apply_requant_leaky(
+            rq, lk, jnp.asarray(acc4), [jnp.asarray(a) for a in rq_ops]))
+        np.testing.assert_array_equal(fused_rsm, want,
+                                      err_msg=f"conv op {op.index} (rsm)")
         n_pairs += 1
     assert n_pairs == 17
+
+
+def test_derive_requant_rsm_exhaustive_sweep():
+    """The reduced two-multiply pure-int32 requant form derives for EVERY
+    conv/dw in the shipped graph, and reproduces the exact clamped MBQM
+    magnitude bit-for-bit over a FULL exhaustive sweep of sampled channels
+    (plus the widest-bound channel) of every layer.  The monotone
+    run-endpoint argument inside the derivation covers all channels; this
+    sweep independently cross-checks it against mbqm_numpy ground truth."""
+    from yoloface_tpu.core.fixedpoint import (derive_requant_rsm, mbqm_numpy,
+                                              quantize_multiplier_arr)
+    from yoloface_tpu.io.tflite_import import load_tflite
+
+    g = load_tflite("/root/reference/yoloface/tflite/yoloface_int8.tflite")
+    t = g.tensor
+    rng = np.random.default_rng(7)
+    n_layers = 0
+    for op in g.ops:
+        if op.opname not in ("CONV_2D", "DEPTHWISE_CONV_2D"):
+            continue
+        w, b = t(op.inputs[1]), t(op.inputs[2])
+        in_q, out_q = t(op.inputs[0]).qparams, t(op.outputs[0]).qparams
+        eff = (np.float64(in_q.scale) * np.asarray(w.qparams.scales,
+                                                   np.float64)
+               / np.float64(out_q.scale))
+        qms, shifts = quantize_multiplier_arr(eff)
+        wd = w.data.astype(np.int64)
+        axes = (1, 2, 3) if op.opname == "CONV_2D" else (0, 1, 2)
+        abs_w = np.abs(wd).sum(axes)
+        bias_eff = b.data.astype(np.int64) - in_q.zero_point * wd.sum(axes)
+        bounds = 128 * abs_w + np.abs(bias_eff)
+        zp = out_q.zero_point
+        sat_pos, sat_neg = 127 - zp, 128 + zp
+        rsm = derive_requant_rsm(qms, shifts, bounds, sat_pos, sat_neg)
+        assert rsm is not None, f"op {op.index} failed to derive"
+        k1, k2, m1, m2, c_p, c_n, a_p, a_n = rsm
+        C = qms.size
+        chans = {int(np.argmax(bounds))} | set(
+            rng.integers(0, C, 2).tolist())
+        for c in chans:
+            a = np.arange(0, int(bounds[c]) + 1, dtype=np.int64)
+            for neg, satmag, cc, A in ((False, sat_pos, c_p[c], a_p[c]),
+                                       (True, sat_neg, c_n[c], a_n[c])):
+                signed = (-a if neg else a).astype(np.int64)
+                truth = np.minimum(
+                    np.abs(mbqm_numpy(signed, int(qms[c]), int(shifts[c]))),
+                    satmag)
+                ac = np.minimum(a, int(A))
+                got = (ac * int(m2[c]) + ((ac * int(m1[c])) >> k1)
+                       + int(cc)) >> k2
+                np.testing.assert_array_equal(
+                    got, truth, err_msg=f"op {op.index} ch {c} neg={neg}")
+                # int32 headroom at the clamp point
+                assert int(ac.max() * m2[c]
+                           + ((ac.max() * m1[c]) >> k1) + cc) < 2 ** 31
+                assert int(ac.max()) * int(m1[c]) < 2 ** 31
+        n_layers += 1
+    assert n_layers == 24
+
+
+def test_rsm_requant_only_epilogue_dense_sweep():
+    """apply_in_kernel with the derived reduced form == general limb MBQM +
+    zero-point clip, for the graph's NON-leaky convs (head convs), over a
+    dense per-channel-contract accumulator sweep."""
+    from yoloface_tpu.core.fixedpoint import multiply_by_quantized_multiplier
+    from yoloface_tpu.io.tflite_import import load_tflite
+    from yoloface_tpu.runtime.pallas_plan import _requant_spec
+
+    g = load_tflite("/root/reference/yoloface/tflite/yoloface_int8.tflite")
+    t = g.tensor
+    rng = np.random.default_rng(11)
+    n_convs = 0
+    leaky_srcs = {o.inputs[0] for o in g.ops if o.opname == "LEAKY_RELU"}
+    for op in g.ops:
+        if op.opname != "CONV_2D" or op.outputs[0] in leaky_srcs:
+            continue
+        w, b = t(op.inputs[1]), t(op.inputs[2])
+        in_q, out_q = t(op.inputs[0]).qparams, t(op.outputs[0]).qparams
+        rq = _requant_spec(in_q.scale, w.qparams.scales, out_q.scale,
+                           out_q.zero_point, True)
+        wd = w.data.astype(np.int64)
+        abs_w = np.abs(wd).sum((1, 2, 3))
+        bias_eff = (b.data.astype(np.int64)
+                    - in_q.zero_point * wd.sum((1, 2, 3))).astype(np.int32)
+        rq.derive_rsm(abs_w, bias_eff)
+        assert rq.rsm is not None
+        bounds_c = (128 * np.abs(abs_w) + np.abs(bias_eff.astype(np.int64)))
+        C = rq.p1.shape[0]
+        accs = np.concatenate([
+            np.arange(-800, 800),
+            rng.integers(-bounds_c.max(), bounds_c.max() + 1, 3000),
+        ]).astype(np.int64)
+        acc4 = np.clip(np.broadcast_to(accs[None, :, None, None],
+                                       (C, accs.size, 1, 1)),
+                       -bounds_c[:, None, None, None],
+                       bounds_c[:, None, None, None]).astype(np.int32)
+        p1, p2 = rq.operands()
+        v = np.asarray(multiply_by_quantized_multiplier(
+            jnp.asarray(acc4), p1.reshape(C, 1, 1, 1),
+            p2.reshape(C, 1, 1, 1)))
+        want = np.clip(v + rq.zp_out, -128, 127).astype(np.int8)
+        got = np.asarray(rq.apply_in_kernel(
+            jnp.asarray(acc4), [jnp.asarray(a) for a in rq.operand_arrays()]))
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"conv op {op.index}")
+        n_convs += 1
+    assert n_convs == 7

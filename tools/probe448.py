@@ -147,7 +147,7 @@ def main():
                         preferred_element_type=jnp.int32))
             acc = (jnp.stack(outs, 0).reshape(16, CH, 8, NT)
                    + b1v.reshape(1, 1, 8, 1))
-            r = apply_requant_leaky(rq1, lk1, acc, p11v, None, ch_axis=2)
+            r = apply_requant_leaky(rq1, lk1, acc, [p11v], ch_axis=2)
             stem_ref[:, pl.ds(1 + h0, CH)] = r
             return zero
 
@@ -176,7 +176,7 @@ def main():
                     # dy walks the W axis (TFLite Kw), dx the H axis (Kh)
                     acc = acc + (c[dy:dy + 14, dx:dx + CH]
                                  * w3v[dx, dy].reshape(1, 1, 8, 1))
-            r = apply_requant_leaky(rq3, lk3, acc, p13v, None, ch_axis=2)
+            r = apply_requant_leaky(rq3, lk3, acc, [p13v], ch_axis=2)
             dw_ref[:, pl.ds(h0, CH)] = r
             return zero
 
@@ -197,7 +197,7 @@ def main():
                         preferred_element_type=jnp.int32))
             acc5 = (jnp.stack(outs, 0).reshape(14, CH, 4, NT)
                     + b5v.reshape(1, 1, 4, 1))
-            r5 = apply_requant_leaky(rq5, None, acc5, p15v, None, ch_axis=2)
+            r5 = apply_requant_leaky(rq5, None, acc5, [p15v], ch_axis=2)
             outs6 = []
             for wp in range(14):
                 for hh in range(CH):
@@ -206,7 +206,7 @@ def main():
                         preferred_element_type=jnp.int32))
             acc6 = (jnp.stack(outs6, 0).reshape(14, CH, 18, NT)
                     + b6v.reshape(1, 1, 18, 1))
-            r6 = apply_requant_leaky(rq6, lk6, acc6, p16v, None, ch_axis=2)
+            r6 = apply_requant_leaky(rq6, lk6, acc6, [p16v], ch_axis=2)
             out_ref[:, pl.ds(h0, CH)] = r6
             return zero
 

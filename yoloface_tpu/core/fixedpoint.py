@@ -40,6 +40,7 @@ __all__ = [
     "multiply_by_quantized_multiplier_bounded_preshift",
     "mbqm_numpy",
     "derive_single_multiply",
+    "derive_requant_rsm",
     "BOUNDED_MAX_ABS",
 ]
 
@@ -229,6 +230,137 @@ def _sm_branch_at_k(vv, qm, sh, zp_out, k):
         got = np.where(vv < 0, -t2, t2)
         if (np.clip(got + zp_out, -128, 127) == f).all():
             return m, clo
+    return None
+
+
+def _rsm_fold(qm: int, shift: int, neg: bool) -> Tuple[int, int, int]:
+    """``(QM', N_b, K)`` of the collapsed single-floor magnitude map.
+
+    The gemmlowp double rounding on a magnitude ``a = |x|`` nests two
+    floors, which the nested-floor identity ``floor((floor(p/2**31)+h) /
+    2**right) == floor((p + h*2**31) / 2**(31+right))`` collapses into ONE:
+
+        |MBQM(±a, qm, shift)| = (a*QM' + N_b) >> K        (int64 plan-time)
+
+    with ``QM' = qm << max(shift,0)``, ``K = 31 + max(-shift,0)``, and the
+    branch nudge ``N_b = 2**30 + (h << 31) - neg`` (``h = 2**(right-1)``,
+    0 when right == 0; SRDHM's negative-side nudge is one less).  Verified
+    against :func:`mbqm_numpy` by the derivation's exhaustive check."""
+    left, right = max(shift, 0), max(-shift, 0)
+    h = (1 << right) >> 1
+    return (int(qm) << left,
+            (1 << 30) + (h << 31) - (1 if neg else 0),
+            31 + right)
+
+
+def _rsm_runs(qm: int, shift: int, bound: int, satmag: int, neg: bool):
+    """Constant-value runs of the CLAMPED branch magnitude map.
+
+    Returns ``(A, js, a_start, a_end)``: the input clamp ``A`` (the first
+    ``a`` whose magnitude saturates at ``satmag``, or ``bound`` when the
+    map never reaches it), and for every output value ``j`` taken on
+    ``[0, A]`` the first/last input producing it.  Because the reduced form
+    ``X(a)`` below is monotone nondecreasing in ``a``, bit-exactness over
+    every run's two ENDPOINTS implies bit-exactness over the whole run —
+    the endpoint check is exhaustive."""
+    QM, N, K = _rsm_fold(qm, shift, neg)
+    a_sat = max(0, -(-((satmag << K) - N) // QM))     # ceil division
+    A = a_sat if a_sat <= bound else bound
+    j_end = satmag if a_sat <= bound else int((A * QM + N) >> K)
+    js = np.arange(0, j_end + 1, dtype=np.int64)
+    a_start = np.maximum(0, -(-((js << K) - N) // QM))
+    a_end = np.empty_like(a_start)
+    a_end[:-1] = a_start[1:] - 1
+    a_end[-1] = A
+    ok = a_start <= a_end
+    return A, js[ok], a_start[ok], a_end[ok]
+
+
+def derive_requant_rsm(qms, shifts, bounds, sat_pos: int, sat_neg: int):
+    """Derive a verified two-int-multiply reduced form of the exact conv
+    requant magnitude map (clamped at the int8 saturation point):
+
+        neg = acc < 0;  a = min(|acc|, A_b)
+        t1  = (a*m2 + ((a*m1) >> k1) + c_b) >> k2     # pure int32, no f32
+
+    such that ``t1 == min(|MBQM(acc, qm, shift)|, satmag_b)`` bit-exactly
+    for every reachable ``acc`` (``|acc| <= bound_c``, the static
+    per-channel accumulator bound), where ``satmag_pos = 127 - zp_out`` and
+    ``satmag_neg = 128 + zp_out`` are the magnitudes at which the signed
+    int8 clip saturates.  The saturation clamp moves to the INPUT (``A_b``
+    = first saturating ``a``), and the derivation pins the line to exactly
+    ``satmag`` there, so no output min is needed: ``clip(±t1 + zp_out)``
+    reduces to ``±t1 + zp_out``.
+
+    Replaces the 2-multiply f32-assisted bounded MBQM
+    (:func:`multiply_by_quantized_multiplier_bounded_mag`, ~19 VPU ops with
+    two f32 converts, a round and a carry chain) with ~11 plain int32 ops.
+    The single-multiply form (:func:`derive_single_multiply`) is infeasible
+    at conv accumulator domains — int32 overflow (``bound*m < 2**31``)
+    collides with the corridor precision it needs (``2**k > A*J``); the
+    second multiply supplies slope granularity ``2**-(k1+k2)`` while both
+    products stay below 2**31.
+
+    Per-channel ``(m1, m2, c_pos, c_neg, A_pos, A_neg)`` share one static
+    ``(k1, k2)`` per layer.  Exhaustively verified per channel via the
+    monotone run-endpoint argument (see :func:`_rsm_runs`); returns None
+    when any channel fails (callers fall back to the bounded MBQM).
+
+    Parity anchor: the requant semantics of the reference's conv epilogue,
+    ``/root/reference/stm32/X-CUBE-AI/App/network.c:2900-2921``.
+    """
+    qms = np.asarray(qms, np.int64).ravel()
+    shifts = np.asarray(shifts, np.int64).ravel()
+    bounds = np.asarray(bounds, np.int64).ravel()
+    C = qms.size
+    for k2 in range(23, 15, -1):
+        for k1 in (12, 10, 8):
+            res = [_rsm_channel(int(qms[c]), int(shifts[c]),
+                                int(bounds[c]), sat_pos, sat_neg, k1, k2)
+                   for c in range(C)]
+            if all(r is not None for r in res):
+                arr = np.asarray(res, np.int64)
+                if (arr >= (1 << 31)).any():
+                    continue
+                return (k1, k2) + tuple(
+                    arr[:, i].astype(np.int32) for i in range(6))
+    return None
+
+
+def _rsm_channel(qm, shift, bound, sat_pos, sat_neg, k1, k2):
+    """One channel of :func:`derive_requant_rsm`: shared (m1, m2) across
+    both sign branches (their maps differ only in the nudge), per-branch
+    (c, A).  Returns (m1, m2, c_pos, c_neg, A_pos, A_neg) or None."""
+    QM, _, K = _rsm_fold(qm, shift, False)
+    sigma = QM / 2.0 ** K
+    m2_0 = int(sigma * (1 << k2))
+    for dm2 in (0, -1, 1):
+        m2 = m2_0 + dm2
+        if m2 < 0:
+            continue
+        m1_0 = int(round((sigma - m2 / 2.0 ** k2) * (1 << (k1 + k2))))
+        for dm1 in (0, -1, 1, -2, 2):
+            m1 = m1_0 + dm1
+            if m1 < 0:
+                continue
+            cs, As = [], []
+            ok = True
+            for neg, satmag in ((False, sat_pos), (True, sat_neg)):
+                A, js, a_s, a_e = _rsm_runs(qm, shift, bound, satmag, neg)
+                x_s = a_s * m2 + ((a_s * m1) >> k1)
+                x_e = a_e * m2 + ((a_e * m1) >> k1)
+                clo = max(int((js * (1 << k2) - x_s).max()), 0)
+                chi = int((js * (1 << k2) + (1 << k2) - 1 - x_e).min())
+                # int32 headroom for both products and the sum at the clamp
+                x_A = A * m2 + ((A * m1) >> k1)
+                chi = min(chi, (1 << 31) - 1 - x_A)
+                if A * m1 >= (1 << 31) or clo > chi:
+                    ok = False
+                    break
+                cs.append(clo)
+                As.append(A)
+            if ok:
+                return m1, m2, cs[0], cs[1], As[0], As[1]
     return None
 
 

@@ -59,7 +59,7 @@ from yoloface_tpu.core.fixedpoint import (
     multiply_by_quantized_multiplier_bounded, quantize_multiplier)
 from yoloface_tpu.graph.ir import GraphDef
 from yoloface_tpu.kernels.pallas_int8 import (_interpret_mode,
-                                              acc_bound as _acc_bound,
+                                              set_conv_bounds as _set_conv_bounds,
                                               apply_requant_leaky)
 from yoloface_tpu.ops.int8_ref import _same_pad_amounts
 
@@ -336,7 +336,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
-                requant.bound = _acc_bound(
+                _set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 if L == "cwhn":
                     w_arr = np.ascontiguousarray(wd.reshape(co, ci).T)
@@ -344,7 +344,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                     def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
                              ci=ci, requant=requant, leaky=leaky, co=co,
                              ow=ow, oh=oh, exact=exact):
-                        w_v, b_v, p1, p2 = opvals
+                        w_v, b_v, *rq = opvals
                         xr, c0, wb, hb = ctx.read_base(x_idx)
                         x = xr[c0:c0 + ci, wb:wb + ow, hb:hb + oh, :]
                         if x.dtype != jnp.int8:
@@ -355,7 +355,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                         acc = acc + b_v.reshape(co, 1, 1, 1)
                         for s0, s1 in _strips(ow, co, oh, exact):
                             r = apply_requant_leaky(
-                                requant, leaky, acc[:, s0:s1], p1, p2)
+                                requant, leaky, acc[:, s0:s1], rq)
                             ctx.write(out_idx, s0, s1, r)
                 else:
                     # whcn: per-(w,h) 2D MXU dots [Co,Ci] @ [Ci,NT]
@@ -364,7 +364,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                     def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
                              ci=ci, requant=requant, leaky=leaky, co=co,
                              ow=ow, oh=oh, exact=exact):
-                        w_v, b_v, p1, p2 = opvals
+                        w_v, b_v, *rq = opvals
                         xr, c0, wb, hb = ctx.read_base(x_idx)
                         for s0, s1 in _strips(ow, co, oh, exact):
                             rows = []
@@ -382,12 +382,12 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                             acc = jnp.stack(rows, 0)     # [ws, oh, Co, NT]
                             acc = acc + b_v.reshape(1, 1, co, 1)
                             r = apply_requant_leaky(requant, leaky, acc,
-                                                    p1, p2, ch_axis=2)
+                                                    rq, ch_axis=2)
                             ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
                     out_idx, [(x_idx, NOPAD, 0, False)],
-                    [w_arr, bias_eff, requant.p1, requant.p2], emit))
+                    [w_arr, bias_eff, *requant.operand_arrays()], emit))
 
             elif name == "CONV_2D" and L == "whcn":
                 # im2col -> MXU: 9 strided phase reads concatenated on the
@@ -399,7 +399,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
-                requant.bound = _acc_bound(
+                _set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 # columns ordered (dy-major W offset, dx H offset, ci)
                 w2 = np.ascontiguousarray(
@@ -410,7 +410,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                          requant=requant, leaky=leaky, co=co, ci=ci, kh=kh,
                          stride=stride, pads=pads, fill=fill, ow=ow, oh=oh,
                          exact=exact):
-                    w_v, b_v, p1, p2 = opvals
+                    w_v, b_v, *rq = opvals
                     xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
                     phases = []
                     for dy in range(kh):
@@ -437,20 +437,20 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                                     preferred_element_type=jnp.int32))
                             rows.append(jnp.stack(cols, 0))
                         acc = jnp.stack(rows, 0) + b_v.reshape(1, 1, co, 1)
-                        r = apply_requant_leaky(requant, leaky, acc, p1, p2,
+                        r = apply_requant_leaky(requant, leaky, acc, rq,
                                                 ch_axis=2)
                         ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
                     out_idx, [(x_idx, pads, fill, stride > 1 or _WIDE_WINDOWS)],
-                    [w2, bias_eff, requant.p1, requant.p2], emit))
+                    [w2, bias_eff, *requant.operand_arrays()], emit))
 
             elif name == "CONV_2D":
                 co, kh, ci = wd.shape[0], wd.shape[1], wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
-                requant.bound = _acc_bound(
+                _set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 # [K*K, Co, Ci] taps; index k = ww*kh + hh (W-major)
                 taps = np.stack([
@@ -461,7 +461,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                          requant=requant, leaky=leaky, co=co, ci=ci, kh=kh,
                          stride=stride, pads=pads, fill=fill, ow=ow, oh=oh,
                          exact=exact):
-                    w_v, b_v, p1, p2 = opvals
+                    w_v, b_v, *rq = opvals
                     xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
                     nt = xr.shape[-1]
                     for s0, s1 in _strips(ow, co, oh, exact):
@@ -486,20 +486,20 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                                         L, w_v[k:k + 1, :, ci_i:ci_i + 1],
                                         co)
                                     acc = acc + sl * col
-                        r = apply_requant_leaky(requant, leaky, acc, p1, p2,
+                        r = apply_requant_leaky(requant, leaky, acc, rq,
                                                 ch_axis=_ch_axis(L))
                         ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
                     out_idx, [(x_idx, pads, fill, stride > 1 or _WIDE_WINDOWS)],
-                    [taps, bias_eff, requant.p1, requant.p2], emit))
+                    [taps, bias_eff, *requant.operand_arrays()], emit))
 
             else:                       # depthwise 3x3
                 c = wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
                             ).astype(np.int32).reshape(c, 1)
-                requant.bound = _acc_bound(
+                _set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((0, 1, 2)), bias_eff)
                 w_taps = np.asarray(
                     wd[0].transpose(2, 1, 0), np.int32).reshape(c, 9)
@@ -507,7 +507,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                 def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
                          requant=requant, leaky=leaky, c=c, stride=stride,
                          pads=pads, fill=fill, ow=ow, oh=oh, exact=exact):
-                    w_v, b_v, p1, p2 = opvals
+                    w_v, b_v, *rq = opvals
                     xr, c0, wb, hb = ctx.read_base(x_idx, pads, fill)
                     nt = xr.shape[-1]
                     for s0, s1 in _strips(ow, c, oh, exact):
@@ -546,13 +546,13 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                                             ].astype(jnp.int32)
                                     tap = _chvec(L, w_v[:, dy * 3 + dx], c)
                                     acc = acc + sl * tap
-                        r = apply_requant_leaky(requant, leaky, acc, p1, p2,
+                        r = apply_requant_leaky(requant, leaky, acc, rq,
                                                 ch_axis=_ch_axis(L))
                         ctx.write(out_idx, s0, s1, r)
 
                 arena_ops.append(ArenaOp(
                     out_idx, [(x_idx, pads, fill, stride > 1 or _WIDE_WINDOWS)],
-                    [w_taps, bias_eff, requant.p1, requant.p2], emit))
+                    [w_taps, bias_eff, *requant.operand_arrays()], emit))
 
         elif name == "MAX_POOL_2D":
             x_idx, pads, fill = _input_req(graph, op)

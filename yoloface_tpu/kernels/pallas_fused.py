@@ -224,7 +224,7 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
-                requant.bound = pk.acc_bound(
+                pk.set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 if kh == 1:
                     w_io = np.ascontiguousarray(
@@ -232,17 +232,16 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
 
                     def emit(env, opvals, x_idx=x_idx, requant=requant,
                              leaky=leaky, co=co):
-                        w_v, b_v, p1, p2 = opvals
+                        w_v, b_v, *rq = opvals
                         acc = lax.dot_general(
                             w_v, env[x_idx], (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
                         acc = acc + b_v.reshape(co, 1, 1, 1)
-                        r = requant.apply_in_kernel(acc, p1, p2)
+                        r = requant.apply_in_kernel(acc, rq)
                         return leaky.apply(r) if leaky else r
 
                     out.append(FusedOp(out_idx, [x_idx],
-                                       [w_io, bias_eff, requant.p1,
-                                        requant.p2], emit, _nbytes(out_t)))
+                                       [w_io, bias_eff, *requant.operand_arrays()], emit, _nbytes(out_t)))
                 else:
                     # conv1 3x3: [K*K, Co, Ci] taps, int32 VPU FMAs
                     ci = wd.shape[3]
@@ -256,7 +255,7 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                              leaky=leaky, co=co, ci=ci, kh=kh,
                              stride=stride, out_hw=out_hw, pads=pads,
                              zp_in=zp_in):
-                        w_v, b_v, p1, p2 = opvals
+                        w_v, b_v, *rq = opvals
                         x = env[x_idx]
                         if pads is not None:
                             x = _pad_value(x, pads, zp_in)
@@ -281,20 +280,19 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                                               tap, acc)
 
                         acc = _scoped_i32(x, body)
-                        r = requant.apply_in_kernel(acc, p1, p2)
+                        r = requant.apply_in_kernel(acc, rq)
                         return leaky.apply(r) if leaky else r
 
                     out.append(FusedOp(out_idx, [x_idx],
-                                       [taps, bias_eff, requant.p1,
-                                        requant.p2], emit, _nbytes(out_t)))
+                                       [taps, bias_eff, *requant.operand_arrays()], emit, _nbytes(out_t)))
             else:
                 wd = w.data
                 c = wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
                             ).astype(np.int32).reshape(c, 1)
-                requant.bound = pk.acc_bound(
-                    np.abs(wd.astype(np.int64)).sum((0, 1, 2)), bias_eff)
+                pk.set_conv_bounds(
+                    requant, np.abs(wd.astype(np.int64)).sum((0, 1, 2)), bias_eff)
                 # [C, 9] taps in W-major order (layout dims are [C,W,H,N])
                 w_taps = np.asarray(
                     wd[0].transpose(2, 1, 0), np.int32).reshape(c, 9)
@@ -302,7 +300,7 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                 def emit(env, opvals, x_idx=x_idx, requant=requant,
                          leaky=leaky, c=c, stride=stride, out_hw=out_hw,
                          pads=pads, zp_in=zp_in):
-                    w_v, b_v, p1, p2 = opvals
+                    w_v, b_v, *rq = opvals
                     x = env[x_idx]
                     if pads is not None:
                         x = _pad_value(x, pads, zp_in)
@@ -321,12 +319,12 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                         return _conv_taps(sref, 3, stride, out_hw, tap, acc)
 
                     acc = _scoped_i32(x, body)
-                    r = requant.apply_in_kernel(acc, p1, p2)
+                    r = requant.apply_in_kernel(acc, rq)
                     return leaky.apply(r) if leaky else r
 
                 out.append(FusedOp(out_idx, [x_idx],
-                                   [w_taps, bias_eff, requant.p1,
-                                    requant.p2], emit, _nbytes(out_t)))
+                                   [w_taps, bias_eff,
+                                    *requant.operand_arrays()], emit, _nbytes(out_t)))
 
         elif name == "LEAKY_RELU":
             spec = _leaky_spec(graph, op, exact)

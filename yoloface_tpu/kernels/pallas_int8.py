@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from yoloface_tpu.core.fixedpoint import (
-    BOUNDED_MAX_ABS, multiply_by_quantized_multiplier,
+    BOUNDED_MAX_ABS, derive_requant_rsm,
+    multiply_by_quantized_multiplier,
     multiply_by_quantized_multiplier_bounded)
 
 DEFAULT_NT = 128  # frames per grid step (lane dim)
@@ -93,6 +94,11 @@ class RequantSpec:
         # static |accumulator| bound (set by lowerings that know the
         # weights); enables the 2-multiply f32-assisted exact MBQM
         self.bound: Optional[int] = None
+        # plan-time-derived pure-int32 reduced requant form (set by
+        # derive_rsm when the lowering knows per-channel bounds):
+        # (k1, k2, m1, m2, c_pos, c_neg, A_pos, A_neg) — see
+        # core.fixedpoint.derive_requant_rsm
+        self.rsm = None
         c = np.asarray(scale).size
         if exact:
             self.p1 = np.asarray(qm, np.int32).reshape(c, 1)
@@ -101,24 +107,70 @@ class RequantSpec:
             self.p1 = np.asarray(scale, np.float32).reshape(c, 1)
             self.p2 = np.zeros((c, 1), np.int32)
 
+    def derive_rsm(self, abs_w_sum, bias_eff) -> None:
+        """Derive the reduced pure-int32 requant form from the per-channel
+        static accumulator bounds ``128*sum|w_c| + |bias_eff_c|``.  No-op
+        for fast bits or when the derivation fails (bounded-MBQM fallback);
+        disable globally with YOLOFACE_TPU_RSM=0 for A/B probes."""
+        if not self.exact or os.environ.get("YOLOFACE_TPU_RSM") == "0":
+            return
+        bounds = (128 * np.abs(np.asarray(abs_w_sum, np.int64)).ravel()
+                  + np.abs(np.asarray(bias_eff, np.int64)).ravel())
+        c = self.p1.shape[0]
+        if bounds.size != c:                 # per-tensor quant: broadcast
+            bounds = np.full(c, int(bounds.max()), np.int64)
+        self.rsm = derive_requant_rsm(self.p1.ravel(), self.p2.ravel(),
+                                      bounds, 127 - self.zp_out,
+                                      128 + self.zp_out)
+
     def operands(self):
         return jnp.asarray(self.p1), jnp.asarray(self.p2)
 
-    def apply_in_kernel(self, acc_i32, p1, p2, ch_axis: int = 0):
-        """acc 4D with channels on ``ch_axis``; p1/p2 are the loaded [C,1]
-        operand values."""
+    def operand_arrays(self):
+        """Device operand list for the in-kernel epilogue: the rsm constant
+        set when derived, else the classic (p1, p2) pair.  Lowerings splat
+        this into their operand lists; apply_in_kernel/apply_requant_leaky
+        take the loaded values back as ``rq``."""
+        if self.rsm is not None:
+            c = self.p1.shape[0]
+            return [jnp.asarray(a.reshape(c, 1)) for a in self.rsm[2:]]
+        return [jnp.asarray(self.p1), jnp.asarray(self.p2)]
+
+    def rsm_mag(self, acc_i32, rq, shape):
+        """(neg, t1): the reduced-form clamped requant magnitude (pure
+        int32; see core.fixedpoint.derive_requant_rsm).  ``clip(±t1 +
+        zp_out)`` is a no-op by construction — t1 is already clamped at the
+        branch saturation magnitude."""
+        k1, k2 = self.rsm[0], self.rsm[1]
+        m1, m2, c_p, c_n, a_p, a_n = (r.reshape(shape) for r in rq)
+        neg = acc_i32 < 0
+        a = jnp.where(neg, -acc_i32, acc_i32)
+        a = jnp.minimum(a, jnp.where(neg, a_n, a_p))
+        x = a * m2 + ((a * m1) >> k1) + jnp.where(neg, c_n, c_p)
+        return neg, x >> k2
+
+    def apply_in_kernel(self, acc_i32, rq, ch_axis: int = 0):
+        """acc 4D with channels on ``ch_axis``; ``rq`` is the loaded
+        operand_arrays() value list ([C,1] each)."""
         c = acc_i32.shape[ch_axis]
         shape = tuple(c if a == ch_axis else 1 for a in range(4))
         # NOTE: an all-f32-lane variant (round/clip/+zp in float, one int8
         # convert) is bit-identical but measured ~25% SLOWER end-to-end on
         # v5e — Mosaic lowers the int32 formulation better; keep it.
         if self.exact:
+            if self.rsm is not None:
+                neg, t1 = self.rsm_mag(acc_i32, rq, shape)
+                # t1 is clamped at the saturation magnitude: +zp needs no clip
+                return (jnp.where(neg, -t1, t1)
+                        + self.zp_out).astype(jnp.int8)
+            p1, p2 = rq
             mbqm = (multiply_by_quantized_multiplier_bounded
                     if self.bound is not None
                     and self.bound <= BOUNDED_MAX_ABS
                     else multiply_by_quantized_multiplier)
             v = mbqm(acc_i32, p1.reshape(shape), p2.reshape(shape))
         else:
+            p1 = rq[0]
             v = jnp.round(acc_i32.astype(jnp.float32)
                           * p1.reshape(shape)).astype(jnp.int32)
         return jnp.clip(v + self.zp_out, -128, 127).astype(jnp.int8)
@@ -213,20 +265,29 @@ def acc_bound(abs_w_sum: np.ndarray, bias_eff: np.ndarray) -> int:
                 + np.abs(np.asarray(bias_eff, np.int64)).ravel()).max())
 
 
+def set_conv_bounds(requant: RequantSpec, abs_w_sum, bias_eff) -> None:
+    """Attach the static accumulator bounds to a conv's RequantSpec: the
+    scalar bound gates the 2-multiply bounded MBQM fallback, the
+    per-channel bounds drive the reduced pure-int32 form derivation."""
+    requant.bound = acc_bound(abs_w_sum, bias_eff)
+    requant.derive_rsm(abs_w_sum, bias_eff)
+
+
 def _maybe_leaky(t, leaky: Optional[LeakySpec]):
     return t if leaky is None else leaky.apply(t)
 
 
 def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
-                        acc_i32, p1, p2, ch_axis: int = 0):
+                        acc_i32, rq, ch_axis: int = 0):
     """Fused conv requant + LEAKY_RELU epilogue, bit-identical to
     ``leaky.apply(requant.apply_in_kernel(...))`` but staying in int32
     between the two stages: the int8 pack / re-widen relayout pair in the
     middle is lossless after the clip (leaky.zp_in == requant.zp_out for a
     fused conv->leaky pair), and those two converts are a measurable share
-    of the per-op epilogue cost on the VPU."""
+    of the per-op epilogue cost on the VPU.  ``rq`` is the loaded
+    ``requant.operand_arrays()`` value list."""
     if leaky is None:
-        return requant.apply_in_kernel(acc_i32, p1, p2, ch_axis)
+        return requant.apply_in_kernel(acc_i32, rq, ch_axis)
     assert leaky.zp_in == requant.zp_out, "not a fused conv->leaky pair"
     c = acc_i32.shape[ch_axis]
     shape = tuple(c if a == ch_axis else 1 for a in range(4))
@@ -236,7 +297,7 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
         # LeakyReLU with a single quantization step, network.c:2900-2921).
         # The conv's saturation is applied as an f32 clamp on the UNROUNDED
         # conv-domain value; the only round is at the final output grid.
-        t = acc_i32.astype(jnp.float32) * p1.reshape(shape)
+        t = acc_i32.astype(jnp.float32) * rq[0].reshape(shape)
         t = jnp.clip(t, np.float32(-128 - requant.zp_out),
                      np.float32(127 - requant.zp_out))
         sel = jnp.where(t >= 0, np.float32(leaky.s_id),
@@ -244,6 +305,23 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
         out = jnp.round(t * sel).astype(jnp.int32)
         return jnp.clip(out + leaky.zp_out, -128, 127).astype(jnp.int8)
     if requant.exact:
+        if requant.rsm is not None:
+            # reduced pure-int32 requant magnitude (clamped at saturation
+            # by construction — replaces the bounded MBQM + vmag min)
+            neg, t1 = requant.rsm_mag(acc_i32, rq, shape)
+            if leaky.exact and leaky.sm is not None:
+                # sign-from-accumulator single-multiply leaky: t1 routes
+                # through the branch's (m, c) directly; derivation made the
+                # al branch exact at magnitude 0 (neg acc, zero magnitude)
+                k, m_id, c_id, m_al, c_al = leaky.sm
+                t2 = (t1 * jnp.where(neg, jnp.int32(m_al), jnp.int32(m_id))
+                      + jnp.where(neg, jnp.int32(c_al),
+                                  jnp.int32(c_id))) >> k
+                out = jnp.where(neg, -t2, t2)
+                return jnp.clip(out + leaky.zp_out, -128, 127
+                                ).astype(jnp.int8)
+            return leaky.apply_exact_i32(jnp.where(neg, -t1, t1))
+        p1, p2 = rq
         bounded = (requant.bound is not None
                    and requant.bound <= BOUNDED_MAX_ABS)
         if bounded and leaky.exact and leaky.sm is not None:
@@ -272,7 +350,7 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
         v = mbqm(acc_i32, p1.reshape(shape), p2.reshape(shape))
     else:
         v = jnp.round(acc_i32.astype(jnp.float32)
-                      * p1.reshape(shape)).astype(jnp.int32)
+                      * rq[0].reshape(shape)).astype(jnp.int32)
     # int8 store + reload elided: clip bounds v+zp to int8 range, so the
     # subtraction of leaky.zp_in (== zp_out) recovers the same int32 value;
     # clip(v+zp)-zp folds to ONE clip with shifted bounds (bit-identical)
@@ -291,7 +369,7 @@ def apply_requant_leaky(requant: RequantSpec, leaky: Optional[LeakySpec],
 
 
 
-def _write_out(o, acc, requant, leaky, p1, p2, ho: int):
+def _write_out(o, acc, requant, leaky, rq, ho: int):
     """Requantize + (leaky) + store, strip-wise over H when the exact
     fixed-point path is active: SRDHM expands to ~6 int32 temporaries per
     element, so full-accumulator application can blow the 16 MB scoped-vmem
@@ -301,8 +379,8 @@ def _write_out(o, acc, requant, leaky, p1, p2, ho: int):
 
     def ep(a):
         if fused:
-            return apply_requant_leaky(requant, leaky, a, p1, p2)
-        return _maybe_leaky(requant.apply_in_kernel(a, p1, p2), leaky)
+            return apply_requant_leaky(requant, leaky, a, rq)
+        return _maybe_leaky(requant.apply_in_kernel(a, rq), leaky)
 
     if not requant.exact:
         o[:] = ep(acc)
@@ -328,13 +406,15 @@ def conv1x1(x, w_io: np.ndarray, bias_eff: np.ndarray, requant: RequantSpec,
     co = w_io.shape[1]
     nt = _pick_nt(n, nt)
 
-    def kernel(wr, xr, br, p1r, p2r, o):
+    rq_ops = requant.operand_arrays()
+
+    def kernel(wr, xr, br, *rest):
+        *rqr, o = rest
         acc = lax.dot_general(wr[:], xr[:], (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
         acc = acc + br[:].reshape(co, 1, 1, 1)
-        _write_out(o, acc, requant, leaky, p1r[:], p2r[:], h)
+        _write_out(o, acc, requant, leaky, [r[:] for r in rqr], h)
 
-    p1, p2 = requant.operands()
     return pl.pallas_call(
         kernel,
         grid=(n // nt,),
@@ -342,14 +422,14 @@ def conv1x1(x, w_io: np.ndarray, bias_eff: np.ndarray, requant: RequantSpec,
             pl.BlockSpec((ci, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ci, h, w, nt), lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
-            _param_spec(co), _param_spec(co), _param_spec(co),
-        ],
+            _param_spec(co),
+        ] + [_param_spec(co)] * len(rq_ops),
         out_specs=pl.BlockSpec((co, h, w, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((co, h, w, n), jnp.int8),
         interpret=_interpret_mode(),
     )(jnp.asarray(w_io), x,
-      jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
+      jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), *rq_ops)
 
 
 
@@ -384,8 +464,11 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
     # the exact path's SRDHM expansion) under the 16 MB scoped-vmem limit.
     strip = max(1, -(-ho // (7 if requant.exact else 2)))
 
+    rq_ops = requant.operand_arrays()
     if stride == 1:
-        def kernel(xr, wr, br, p1r, p2r, o):
+        def kernel(xr, wr, br, *rest):
+            *rqr, o = rest
+            rq = [r[:] for r in rqr]
             for h0 in range(0, ho, strip):
                 h1 = min(h0 + strip, ho)
                 acc = (br[:].reshape(c, 1, 1, 1)
@@ -396,10 +479,9 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
                         sl = xr[:, h0 + dy:h1 + dy, dx:dx + wo,
                                 :].astype(jnp.int32)
                         acc = acc + sl * tap
-                t = requant.apply_in_kernel(acc, p1r[:], p2r[:])
+                t = requant.apply_in_kernel(acc, rq)
                 o[:, h0:h1] = _maybe_leaky(t, leaky)
 
-        p1, p2 = requant.operands()
         return pl.pallas_call(
             kernel,
             grid=(n // nt,),
@@ -408,8 +490,8 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((c, 9), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                _param_spec(c), _param_spec(c), _param_spec(c),
-            ],
+                _param_spec(c),
+            ] + [_param_spec(c)] * len(rq_ops),
             out_specs=pl.BlockSpec((c, ho, wo, nt), lambda i: (0, 0, 0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
@@ -418,10 +500,12 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
                 vmem_limit_bytes=(32 * 1024 * 1024 if requant.exact
                                   else None)),
         )(x_padded, jnp.asarray(w_taps),
-          jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), p1, p2)
+          jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), *rq_ops)
 
     # stride == 2: four polyphase inputs, contiguous tap slices
-    def kernel(x00, x01, x10, x11, wr, br, p1r, p2r, o):
+    def kernel(x00, x01, x10, x11, wr, br, *rest):
+        *rqr, o = rest
+        rq = [r[:] for r in rqr]
         ph = {(0, 0): x00, (0, 1): x01, (1, 0): x10, (1, 1): x11}
         for h0 in range(0, ho, strip):
             h1 = min(h0 + strip, ho)
@@ -435,10 +519,9 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
                     sl = pr[:, oy + h0:oy + h1, ox:ox + wo,
                             :].astype(jnp.int32)
                     acc = acc + sl * tap
-            t = requant.apply_in_kernel(acc, p1r[:], p2r[:])
+            t = requant.apply_in_kernel(acc, rq)
             o[:, h0:h1] = _maybe_leaky(t, leaky)
 
-    p1, p2 = requant.operands()
     phase_specs = [
         pl.BlockSpec((c,) + ph.shape[1:3] + (nt,), lambda i: (0, 0, 0, i),
                      memory_space=pltpu.VMEM)
@@ -448,8 +531,8 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
         grid=(n // nt,),
         in_specs=phase_specs + [
             pl.BlockSpec((c, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            _param_spec(c), _param_spec(c), _param_spec(c),
-        ],
+            _param_spec(c),
+        ] + [_param_spec(c)] * len(rq_ops),
         out_specs=pl.BlockSpec((c, ho, wo, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, ho, wo, n), jnp.int8),
@@ -457,7 +540,7 @@ def dwconv3x3(x_padded, w_c33: np.ndarray, bias_eff: np.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(32 * 1024 * 1024 if requant.exact else None)),
     )(*phases, jnp.asarray(w_taps),
-      jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), p1, p2)
+      jnp.asarray(bias_eff, jnp.int32).reshape(c, 1), *rq_ops)
 
 
 # --------------------------------------------------------------------------
@@ -482,7 +565,7 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
 
     strip = max(1, -(-ho // (7 if requant.exact else 2)))
 
-    def stripe_out(get_slice, wr, br, p1, p2, o):
+    def stripe_out(get_slice, wr, br, rq, o):
         """Accumulate + requant + store, strip-wise over H (bounds the live
         int32 working set under the scoped-vmem limit)."""
         for h0 in range(0, ho, strip):
@@ -497,16 +580,17 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                         w_col = wr[k:k + 1, :, ci_i:ci_i + 1].reshape(
                             co, 1, 1, 1)
                         acc = acc + sl[ci_i:ci_i + 1] * w_col
-            t = requant.apply_in_kernel(acc, p1, p2)
+            t = requant.apply_in_kernel(acc, rq)
             o[:, h0:h1] = _maybe_leaky(t, leaky)
 
-    p1, p2 = requant.operands()
+    rq_ops = requant.operand_arrays()
     if stride == 1:
-        def kernel(xr, wr, br, p1r, p2r, o):
+        def kernel(xr, wr, br, *rest):
+            *rqr, o = rest
             stripe_out(
                 lambda dy, dx, h0, h1: xr[:, h0 + dy:h1 + dy, dx:dx + wo, :
                                           ].astype(jnp.int32),
-                wr, br, p1r[:], p2r[:], o)
+                wr, br, [r[:] for r in rqr], o)
 
         return pl.pallas_call(
             kernel,
@@ -516,8 +600,8 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((kh * kw, co, ci), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                _param_spec(co), _param_spec(co), _param_spec(co),
-            ],
+                _param_spec(co),
+            ] + [_param_spec(co)] * len(rq_ops),
             out_specs=pl.BlockSpec((co, ho, wo, nt),
                                    lambda i: (0, 0, 0, i),
                                    memory_space=pltpu.VMEM),
@@ -527,9 +611,10 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
                 vmem_limit_bytes=(32 * 1024 * 1024 if requant.exact
                                   else None)),
         )(x_padded, jnp.asarray(taps),
-          jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
+          jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), *rq_ops)
 
-    def kernel(x00, x01, x10, x11, wr, br, p1r, p2r, o):
+    def kernel(x00, x01, x10, x11, wr, br, *rest):
+        *rqr, o = rest
         ph = {(0, 0): x00, (0, 1): x01, (1, 0): x10, (1, 1): x11}
 
         def get_slice(dy, dx, h0, h1):
@@ -537,7 +622,7 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
             oy, ox = dy // 2, dx // 2
             return pr[:, oy + h0:oy + h1, ox:ox + wo, :].astype(jnp.int32)
 
-        stripe_out(get_slice, wr, br, p1r[:], p2r[:], o)
+        stripe_out(get_slice, wr, br, [r[:] for r in rqr], o)
 
     phase_specs = [
         pl.BlockSpec((ci,) + ph.shape[1:3] + (nt,), lambda i: (0, 0, 0, i),
@@ -549,8 +634,8 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
         in_specs=phase_specs + [
             pl.BlockSpec((kh * kw, co, ci), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            _param_spec(co), _param_spec(co), _param_spec(co),
-        ],
+            _param_spec(co),
+        ] + [_param_spec(co)] * len(rq_ops),
         out_specs=pl.BlockSpec((co, ho, wo, nt), lambda i: (0, 0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((co, ho, wo, n), jnp.int8),
@@ -558,7 +643,7 @@ def conv3x3(x_padded, w_oihw: np.ndarray, bias_eff: np.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(32 * 1024 * 1024 if requant.exact else None)),
     )(*phases, jnp.asarray(taps),
-      jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), p1, p2)
+      jnp.asarray(bias_eff, jnp.int32).reshape(co, 1), *rq_ops)
 
 
 # --------------------------------------------------------------------------

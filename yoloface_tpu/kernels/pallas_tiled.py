@@ -56,7 +56,7 @@ from yoloface_tpu.graph.ir import GraphDef
 from yoloface_tpu.kernels.pallas_arena import (NT, _input_req,
                                                build_arena_plan)
 from yoloface_tpu.kernels.pallas_int8 import (_interpret_mode,
-                                              acc_bound as _acc_bound,
+                                              set_conv_bounds as _set_conv_bounds,
                                               apply_requant_leaky,
                                               exact_add_rescale)
 
@@ -399,7 +399,7 @@ def _gen_conv1x1(sec: _TSec, x_idx, out_idx, co, ci, requant, leaky):
     ch = sec.chunk(h, cw, co)
 
     def emit(tc, opvals):
-        w_v, b_v, p1, p2 = opvals
+        w_v, b_v, *rq = opvals
         xr, woff, hoff = tc.read(x_idx, Li, 0, None)
         nt = tc.sec.nt
         zero = jnp.zeros((), jnp.int32)
@@ -415,7 +415,7 @@ def _gen_conv1x1(sec: _TSec, x_idx, out_idx, co, ci, requant, leaky):
                         preferred_element_type=jnp.int32))
             acc = (jnp.stack(outs, 0).reshape(cw, ch, co, nt)
                    + b_v.reshape(1, 1, co, 1))
-            r = apply_requant_leaky(requant, leaky, acc, p1, p2, ch_axis=2)
+            r = apply_requant_leaky(requant, leaky, acc, rq, ch_axis=2)
             tc.write(out_idx, r, h0, ch)
             return zero
 
@@ -445,7 +445,7 @@ def _gen_conv_im2col(sec: _TSec, x_idx, out_idx, co, ci, kh, kw_, stride,
     rh = stride * ch + kh - 1
 
     def emit(tc, opvals):
-        w_v, b_v, p1, p2 = opvals
+        w_v, b_v, *rq = opvals
         xr, woff, hoff = tc.read(x_idx, Lx, ph0_c, fill)
         nt = tc.sec.nt
         zero = jnp.zeros((), jnp.int32)
@@ -469,7 +469,7 @@ def _gen_conv_im2col(sec: _TSec, x_idx, out_idx, co, ci, kh, kw_, stride,
                         preferred_element_type=jnp.int32))
             acc = (jnp.stack(outs, 0).reshape(cw, ch, co, nt)
                    + b_v.reshape(1, 1, co, 1))
-            r = apply_requant_leaky(requant, leaky, acc, p1, p2, ch_axis=2)
+            r = apply_requant_leaky(requant, leaky, acc, rq, ch_axis=2)
             tc.write(out_idx, r, h0, ch)
             return zero
 
@@ -491,7 +491,7 @@ def _gen_dw(sec: _TSec, x_idx, out_idx, c, stride, pads, fill,
     rw = stride * cw + 2
 
     def emit(tc, opvals):
-        w_v, b_v, p1, p2 = opvals
+        w_v, b_v, *rq = opvals
         xr, woff, hoff = tc.read(x_idx, Lx, ph0_c, fill)
         nt = tc.sec.nt
         zero = jnp.zeros((), jnp.int32)
@@ -508,7 +508,7 @@ def _gen_dw(sec: _TSec, x_idx, out_idx, c, stride, pads, fill,
                 for dx in range(3):
                     acc = acc + (_phase_h(wp, dx, stride, ch)
                                  * w_v[:, dy * 3 + dx].reshape(1, 1, c, 1))
-            r = apply_requant_leaky(requant, leaky, acc, p1, p2, ch_axis=2)
+            r = apply_requant_leaky(requant, leaky, acc, rq, ch_axis=2)
             tc.write(out_idx, r, h0, ch)
             return zero
 
@@ -664,14 +664,14 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
-                requant.bound = _acc_bound(
+                _set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 w_arr = np.ascontiguousarray(
                     wd.reshape(co, ci)).astype(np.int8)
                 consumers.append((out_idx, x_idx, 1, 0, 1, 0, 0, None))
                 pending.append((
                     out_idx,
-                    [w_arr, bias_eff, requant.p1, requant.p2],
+                    [w_arr, bias_eff, *requant.operand_arrays()],
                     lambda s_, x_idx=x_idx, out_idx=out_idx, co=co, ci=ci,
                     rq=requant, lk=leaky:
                     _gen_conv1x1(s_, x_idx, out_idx, co, ci, rq, lk)))
@@ -682,7 +682,7 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32).reshape(co, 1)
-                requant.bound = _acc_bound(
+                _set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 im2col_meta.append((x_idx, out_idx, kh, kw_, ci))
                 consumers.append((out_idx, x_idx, stride, pl_w, kw_,
@@ -704,7 +704,7 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                         s_, x_idx, out_idx, co, ci, kh, kw_, stride, pads,
                         fill, rq, lk)
 
-                ops_list = [None, bias_eff, requant.p1, requant.p2]
+                ops_list = [None, bias_eff, *requant.operand_arrays()]
                 pending.append((
                     out_idx, ops_list,
                     lambda s_, b=build_im2col, o=ops_list: b(s_,
@@ -715,7 +715,7 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
                             ).astype(np.int32).reshape(c, 1)
-                requant.bound = _acc_bound(
+                _set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((0, 1, 2)), bias_eff)
                 w_taps = np.asarray(
                     wd[0].transpose(2, 1, 0), np.int32).reshape(c, 9)
@@ -723,7 +723,7 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                                   ph0, ph1, fill))
                 pending.append((
                     out_idx,
-                    [w_taps, bias_eff, requant.p1, requant.p2],
+                    [w_taps, bias_eff, *requant.operand_arrays()],
                     lambda s_, x_idx=x_idx, out_idx=out_idx, c=c,
                     stride=stride, pads=pads, fill=fill, rq=requant,
                     lk=leaky:

@@ -124,7 +124,7 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((1, 2, 3))
                             ).astype(np.int32)
-                requant.bound = pk.acc_bound(
+                pk.set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((1, 2, 3)), bias_eff)
                 if kh == kw_ == 1:
                     w_io = np.ascontiguousarray(
@@ -159,7 +159,7 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
                             ).astype(np.int32)
-                requant.bound = pk.acc_bound(
+                pk.set_conv_bounds(requant,
                     np.abs(wd.astype(np.int64)).sum((0, 1, 2)), bias_eff)
                 # [C,Kw,Kh]: spatial dims swapped for [C, W, H, N]
                 w_c33 = np.ascontiguousarray(
