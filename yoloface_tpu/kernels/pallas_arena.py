@@ -81,6 +81,10 @@ _EXACT_BUDGET_CAP = 24 * 1024 * 1024
 # overhead on the table (pallas_mxu_exact 77.5 -> 67.7 ms @32k; fast
 # unchanged; 64 MB saturates)
 _STRIP_TARGET = int(os.environ.get("YOLOFACE_TPU_STRIP_TARGET", 16 << 20))
+# estimated live int32 words per accumulator element in the exact epilogue
+# (drives strip width).  6 matched the bounded-MBQM chain; the reduced
+# pure-int32 form (rsm) keeps ~4 temporaries alive — sweep on hardware.
+_EXACT_LIVE = int(os.environ.get("YOLOFACE_TPU_EXACT_LIVE", 6))
 # hard per-alloc ceiling: one activation plane larger than this cannot fit
 # VMEM regardless of stage partition (v5e VMEM ~128 MB, compile limit 100)
 _VMEM_CEILING = 64 * 1024 * 1024
@@ -209,7 +213,7 @@ class ArenaOp:
 
 def _strips(wo: int, co: int, h: int, exact: bool) -> List[Tuple[int, int]]:
     """Output W-strip ranges bounding the live int32 accumulator."""
-    per_w = co * h * NT * 4 * (6 if exact else 2)
+    per_w = co * h * NT * 4 * (_EXACT_LIVE if exact else 2)
     strip = max(1, min(wo, _STRIP_TARGET // max(per_w, 1)))
     return [(w0, min(w0 + strip, wo)) for w0 in range(0, wo, strip)]
 
