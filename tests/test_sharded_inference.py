@@ -17,6 +17,15 @@ def mesh():
     return mesh_lib.make_mesh(8)
 
 
+@pytest.fixture(scope="module")
+def mesh8x1():
+    """(dp=1, sp=8) mesh for the spatial-partitioning tests."""
+    from yoloface_tpu.parallel.spatial import make_sp_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (conftest provides virtual CPUs)")
+    return make_sp_mesh(n_sp=8, n_dp=1)
+
+
 def test_sharded_detect_matches_single_device(int8_graph, mesh):
     pipe = FacePipeline(Int8Engine(int8_graph))
     rng = np.random.default_rng(0)
@@ -70,3 +79,43 @@ def test_two_process_dcn_smoke():
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["ok"] and rep["processes"] == 2
     assert rep["global_devices"] == 8 and rep["inference_bit_exact"]
+
+
+def test_spatial_partition_matches_single_device(int8_graph, mesh8x1):
+    """SP: H sharded over 8 devices (GSPMD halo exchanges) is bit-identical
+    to the unsharded engine — the partitioned program computes the same
+    convolutions, so int8 outputs must match exactly."""
+    from yoloface_tpu.parallel.spatial import make_spatial_infer
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(-128, 128, (4, 56, 56, 3)).astype(np.int8)
+    want = np.asarray(Int8Engine(int8_graph, mode="fast2")(x))
+    run = make_spatial_infer(int8_graph, mesh8x1, mode="fast2")
+    np.testing.assert_array_equal(np.asarray(run(x)), want)
+
+
+def test_spatial_partition_dp_sp_mesh(int8_graph):
+    """Mixed (dp=2, sp=4) mesh: batch AND rows sharded together."""
+    from yoloface_tpu.parallel.spatial import make_sp_mesh, make_spatial_infer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m = make_sp_mesh(n_sp=4, n_dp=2)
+    rng = np.random.default_rng(6)
+    x = rng.integers(-128, 128, (4, 56, 56, 3)).astype(np.int8)
+    want = np.asarray(Int8Engine(int8_graph, mode="fast2")(x))
+    run = make_spatial_infer(int8_graph, m, mode="fast2")
+    got = run(x)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert got.sharding.num_devices == 8
+
+
+def test_spatial_partition_rejects_pallas_and_bad_shapes(int8_graph,
+                                                         mesh8x1):
+    from yoloface_tpu.parallel.spatial import make_spatial_infer
+
+    with pytest.raises(NotImplementedError):
+        make_spatial_infer(int8_graph, mesh8x1, mode="pallas_mxu2")
+    run = make_spatial_infer(int8_graph, mesh8x1, mode="fast")
+    with pytest.raises(ValueError):
+        run(np.zeros((2, 54, 56, 3), np.int8))  # H not divisible / wrong H
