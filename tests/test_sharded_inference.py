@@ -119,3 +119,18 @@ def test_spatial_partition_rejects_pallas_and_bad_shapes(int8_graph,
     run = make_spatial_infer(int8_graph, mesh8x1, mode="fast")
     with pytest.raises(ValueError):
         run(np.zeros((2, 54, 56, 3), np.int8))  # H not divisible / wrong H
+
+
+@pytest.mark.slow
+def test_spatial_partition_448_family(int8_graph, mesh8x1):
+    """SP at the scale it exists for: the 448 retarget (H=448 -> 56 rows
+    per device over sp=8), bit-identical to the unsharded engine."""
+    from yoloface_tpu.graph.retarget import retarget_spatial
+    from yoloface_tpu.parallel.spatial import make_spatial_infer
+
+    g448 = retarget_spatial(int8_graph, 8)
+    rng = np.random.default_rng(8)
+    x = rng.integers(-128, 128, (1, 448, 448, 3)).astype(np.int8)
+    want = np.asarray(Int8Engine(g448, mode="fast2")(x))
+    run = make_spatial_infer(g448, mesh8x1, mode="fast2")
+    np.testing.assert_array_equal(np.asarray(run(x)), want)
