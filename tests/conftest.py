@@ -28,6 +28,19 @@ import pytest  # noqa: E402
 REFERENCE = "/root/reference"
 INT8_TFLITE = REFERENCE + "/yoloface/tflite/yoloface_int8.tflite"
 FP32_TFLITE = REFERENCE + "/yoloface/tflite/yoloface.tflite"
+
+
+@pytest.fixture(autouse=True)
+def _isolate_ab_env(monkeypatch):
+    """A/B perf knobs must not leak into the suite: a leftover
+    YOLOFACE_TPU_RSM=0 (etc.) from a hardware sweep shell would silently
+    switch which epilogue paths the parity tests cover and fail the
+    rsm-derivation asserts with no hint of the cause.  Only the
+    plan-time-read knobs can be isolated here; the import-time arena
+    constants (NT / budgets / strip target) are perf-only."""
+    for var in ("YOLOFACE_TPU_RSM", "YOLOFACE_TPU_EPILOGUE_V2",
+                "YOLOFACE_TPU_TILE_XLA"):
+        monkeypatch.delenv(var, raising=False)
 SMALL_DATASET = REFERENCE + "/yoloface/small_dataset"
 
 

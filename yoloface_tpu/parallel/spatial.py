@@ -58,12 +58,13 @@ def make_spatial_infer(graph: GraphDef, mesh: Mesh, *, mode: str = "fast2",
     by the sp-axis size for an even row split (XLA would otherwise pad —
     rejected to keep the cost model predictable).
     """
-    if mode not in _XLA_MODES:
+    eng = engine or Int8Engine(graph, mode=mode)
+    if eng.mode not in _XLA_MODES:
         raise NotImplementedError(
             f"spatial partitioning requires an XLA engine mode "
-            f"{_XLA_MODES}; pallas modes pin their own layouts (got "
-            f"{mode!r})")
-    eng = engine or Int8Engine(graph, mode=mode)
+            f"{_XLA_MODES}; pallas modes pin their own layouts inside "
+            f"custom calls, which GSPMD cannot re-shard (got "
+            f"{eng.mode!r})")
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_sp = axes.get(SP_AXIS, 1)
     if n_sp <= 1:
@@ -75,11 +76,16 @@ def make_spatial_infer(graph: GraphDef, mesh: Mesh, *, mode: str = "fast2",
     fwd = jax.jit(functools.partial(eng._forward, collect=False),
                   in_shardings=in_s, out_shardings=out_s)
 
+    n_dp = axes.get("data", 1)
+
     def run(x):
         eng._check_input(x)
         if x.shape[1] % n_sp:
             raise ValueError(
                 f"H={x.shape[1]} not divisible by sp={n_sp}")
+        if x.shape[0] % n_dp:
+            raise ValueError(
+                f"batch={x.shape[0]} not divisible by dp={n_dp}")
         return fwd(jax.device_put(x, in_s))
 
     run.engine = eng
