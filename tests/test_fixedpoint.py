@@ -440,3 +440,50 @@ def test_rsm_requant_only_epilogue_dense_sweep():
                                       err_msg=f"conv op {op.index}")
         n_convs += 1
     assert n_convs == 7
+
+
+def test_derive_requant_rsm_random_property():
+    """Property test over random layer-like quant configs: whenever the
+    reduced form derives, it is bit-exact over the FULL [0, bound] domain
+    of every channel (both branches), all intermediates fit int32, and the
+    clamp pins saturation; non-derivations are allowed (callers fall back
+    to the bounded MBQM)."""
+    from yoloface_tpu.core.fixedpoint import (derive_requant_rsm,
+                                              mbqm_numpy,
+                                              quantize_multiplier)
+
+    rng = np.random.default_rng(23)
+    derived = 0
+    for trial in range(24):
+        C = int(rng.integers(1, 9))
+        reals = np.exp(rng.uniform(np.log(1e-4), np.log(0.3), C))
+        qs = [quantize_multiplier(float(m)) for m in reals]
+        qms = np.array([q for q, _ in qs], np.int64)
+        shifts = np.array([s for _, s in qs], np.int64)
+        bounds = rng.integers(64, 1 << 19, C).astype(np.int64)
+        zp = int(rng.integers(-128, 128))
+        sat_pos, sat_neg = 127 - zp, 128 + zp
+        rsm = derive_requant_rsm(qms, shifts, bounds, sat_pos, sat_neg)
+        if rsm is None:
+            continue
+        derived += 1
+        k1, k2, m1, m2, c_p, c_n, a_p, a_n = rsm
+        c = int(rng.integers(0, C))          # one random channel, full sweep
+        a = np.arange(0, int(bounds[c]) + 1, dtype=np.int64)
+        for neg, satmag, cc, A in ((False, sat_pos, c_p[c], a_p[c]),
+                                   (True, sat_neg, c_n[c], a_n[c])):
+            signed = (-a if neg else a)
+            truth = np.minimum(
+                np.abs(mbqm_numpy(signed, int(qms[c]), int(shifts[c]))),
+                satmag)
+            ac = np.minimum(a, int(A))
+            got = (ac * int(m2[c]) + ((ac * int(m1[c])) >> k1)
+                   + int(cc)) >> k2
+            np.testing.assert_array_equal(
+                got, truth, err_msg=f"trial {trial} ch {c} neg={neg}")
+            assert int(ac.max()) * int(m1[c]) < 2 ** 31
+            assert int(ac.max() * m2[c] + ((ac.max() * m1[c]) >> k1)
+                       + cc) < 2 ** 31
+    # the form should derive for the overwhelming majority of realistic
+    # configs (24/24 on the shipped graph); require a healthy rate here
+    assert derived >= 18, f"only {derived}/24 random configs derived"
