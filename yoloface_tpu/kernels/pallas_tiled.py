@@ -82,12 +82,16 @@ _CHUNK_TARGET = int(os.environ.get("YOLOFACE_TPU_TILE_CHUNK", 16 << 20))
 # amortize per-grid-step overheads at the cost of 2x VMEM per view.
 _TILE_NT = int(os.environ.get("YOLOFACE_TPU_TILE_NT", NT))
 # default hybrid routing for tiled plans: section indices (or 'suffix')
-# handed to the XLA twin lowering.  '' = pure tiled until the round-4
-# hardware sweep pins the per-section winner map (docs/PROFILE.md round-3
-# attribution: stem/transitions favored XLA, the deep 112 chain favored
-# tiled) — the measured winner gets baked here so pallas_tiled2 IS the
-# best configuration out of the box.
-DEFAULT_TILE_XLA = ""
+# handed to the XLA twin lowering.  Default = the round-3 measured
+# per-section winner map projected onto the current 4-section split
+# (docs/PROFILE.md attribution: stem 9.9-vs-19.8 XLA, 224-chain+transition
+# 10.9-vs-29.7 XLA, pool25+dw27 1.1-vs-4.0 XLA, 56-suffix 5.7-vs-8.8 XLA;
+# the deep 112 chain 15.3-vs-18.8 TILED) — projected hybrid ~42.9 ms vs
+# 46.4 pure XLA @1024, minus two boundary relayouts.  The armed round-4
+# sweep (tools/when_tpu_returns.sh -> profile_tpu.py sweep448) re-measures
+# candidates and the winner gets re-baked here; env YOLOFACE_TPU_TILE_XLA
+# overrides ('none' = pure tiled).
+DEFAULT_TILE_XLA = "0,1,3,suffix"
 
 NOPAD = ((0, 0), (0, 0))
 
