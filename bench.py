@@ -87,8 +87,15 @@ def _gate_on_tunnel(deadline):
         "instead. Set BENCH_TPU_WAIT_S to adjust the window.")
 
 
-def _retry_tpu(fn, what, deadline):
-    """Run fn(); on UNAVAILABLE backend errors retry until `deadline`."""
+def _retry_tpu(fn, what):
+    """Run fn(); on UNAVAILABLE backend errors retry for TPU_WAIT_S.
+
+    The window is PER-INCIDENT (opened when the first UNAVAILABLE is
+    seen), not per-process: a long multi-mode bench can outlive a
+    process-start deadline, which would turn every late transient outage
+    into an instant zero-retry failure — the exact evidence loss this
+    wrapper exists to prevent."""
+    deadline = None
     while True:
         try:
             return fn()
@@ -96,7 +103,9 @@ def _retry_tpu(fn, what, deadline):
             msg = str(e)
             if "UNAVAILABLE" not in msg and "Unable to initialize" not in msg:
                 raise
-            if time.time() >= deadline:
+            if deadline is None:
+                deadline = time.time() + TPU_WAIT_S
+            if time.time() >= deadline or TPU_WAIT_S <= 0:
                 raise RuntimeError(
                     f"TPU tunnel still unavailable after {TPU_WAIT_S:.0f}s "
                     f"while {what}: {msg}") from e
@@ -123,15 +132,15 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     graph = load_tflite(TFLITE)
 
-    deadline = time.time() + TPU_WAIT_S
-    _gate_on_tunnel(deadline)
+    _gate_on_tunnel(time.time() + TPU_WAIT_S)
 
     # two device-resident frame batches (alternate per iteration)
     gen = jax.jit(lambda seed: jax.random.bits(
         jax.random.key(seed), (batch, 112, 112), jnp.uint16))
     frame_bufs = _retry_tpu(lambda: [gen(0), gen(1)],
-                            "initializing the TPU backend", deadline)
-    jax.block_until_ready(frame_bufs)
+                            "initializing the TPU backend")
+    _retry_tpu(lambda: jax.block_until_ready(frame_bufs),
+               "materializing frame batches")
 
     def build(mode):
         pipe = FacePipeline(Int8Engine(graph, mode=mode))
@@ -147,7 +156,7 @@ def main():
         step = build(mode)
         # compile + first run (remote compile service — also retried)
         _retry_tpu(lambda: int(step(frame_bufs[0])),
-                   f"compiling mode {mode}", deadline)
+                   f"compiling mode {mode}")
         # synchronous latency (dispatch + compute + fixed ~24 ms tunnel
         # round trip per fetch — the conservative per-batch number)
         lats = []
@@ -198,22 +207,26 @@ def main():
             return total
         macs448 = graph_macs(g448)
         n448 = int(os.environ.get("BENCH_448_BATCH", "1024"))
-        x448 = jax.jit(lambda: jax.random.randint(
+        x448 = _retry_tpu(lambda: jax.jit(lambda: jax.random.randint(
             jax.random.key(2), (n448, 448, 448, 3), -128, 128,
-            jnp.int8))()
-        jax.block_until_ready(x448)
+            jnp.int8))(), "generating the 448 input batch")
+        _retry_tpu(lambda: jax.block_until_ready(x448),
+                   "materializing the 448 input batch")
         for mode in os.environ.get("BENCH_448_MODES",
                                    "fast2,pallas_tiled2").split(","):
             eng = Int8Engine(g448, mode=mode)
             s = jax.jit(lambda v, eng=eng:
                         eng._forward(v).astype(jnp.int32).sum())
             _retry_tpu(lambda: int(s(x448)),
-                       f"compiling 448 mode {mode}", deadline)
+                       f"compiling 448 mode {mode}")
             t0 = time.perf_counter()
             for _ in range(5):
                 int(s(x448))               # sync per batch (fetch each)
             dt = (time.perf_counter() - t0) / 5
-            scale448[mode] = round(n448 / dt, 1)
+            # '_sync' key: per-batch latency incl. the ~24 ms tunnel
+            # round trip (distinct key — round-3's unsuffixed key briefly
+            # meant a 5-deep-async number; never reuse it)
+            scale448[mode + "_sync"] = round(n448 / dt, 1)
             # serving throughput: one-batch-deep pipelining, same
             # methodology as the 56-px flagship number above
             t0 = time.perf_counter()

@@ -105,10 +105,17 @@ def main():
         # split can be baked into DEFAULT_TILE_XLA (VERDICT r3 #2).
         from yoloface_tpu.graph.retarget import retarget_spatial
 
+        import jax
+        import jax.numpy as jnp
+
         n = batch if batch <= 8192 else 1024
         g448 = retarget_spatial(graph, 8)
-        rng = np.random.default_rng(0)
-        x448 = rng.integers(-128, 128, (n, 448, 448, 3)).astype(np.int8)
+        # generate ON DEVICE: pushing (n,448,448,3) int8 from the host
+        # would cost ~10 s per routing over the ~60 MB/s tunnel
+        # (net_ms's device_put is then a no-op)
+        x448 = jax.jit(lambda: jax.random.randint(
+            jax.random.key(0), (n, 448, 448, 3), -128, 128, jnp.int8))()
+        np.asarray(x448[0, 0, 0, 0])      # force materialization
         routings = (sys.argv[3].split(";") if len(sys.argv) > 3 else
                     ["XLA", "none", "0", "3", "0,3", "0,1,3", "suffix",
                      "0,3,suffix", "0,1,3,suffix"])
@@ -133,7 +140,19 @@ def main():
             except Exception as e:  # noqa: BLE001 - sweep must finish
                 print(f"{r:>28s}: FAILED {str(e).splitlines()[0][:120]}",
                       flush=True)
-        print(f"winner: {best[0]!r} at {best[1]:.2f} ms", flush=True)
+        if best[0] == "XLA":
+            # stock XLA winning means EVERY section routes to the twin:
+            # the bakeable DEFAULT_TILE_XLA value is the all-sections
+            # string, NOT the literal 'XLA' (which would parse as a
+            # nonexistent section name = pure tiled)
+            from yoloface_tpu.kernels.pallas_tiled import plan_tiled_split
+            secs, suffix = plan_tiled_split(g448)
+            bake = ",".join([str(i) for i in range(len(secs))]
+                            + (["suffix"] if suffix else []))
+        else:
+            bake = best[0]
+        print(f"winner: {best[0]!r} at {best[1]:.2f} ms — bake "
+              f"DEFAULT_TILE_XLA = {bake!r}", flush=True)
     elif cmd == "modes":
         modes = (sys.argv[3].split(",") if len(sys.argv) > 3 else
                  ["fast", "pallas", "pallas_fused"])

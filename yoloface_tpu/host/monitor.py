@@ -118,7 +118,9 @@ class MonitorState:
                           f"#{face.id} {face.confidence:.2f}",
                           color="#00ff66", fontsize=7)
         hist = list(self.history)
-        ax_h.plot(range(max(0, self.frames - len(hist)), self.frames),
+        # frames are numbered 1-based in the protocol: the last history
+        # point belongs to frame `self.frames`, not `self.frames - 1`
+        ax_h.plot(range(self.frames - len(hist) + 1, self.frames + 1),
                   hist, marker="o", markersize=3, linewidth=1)
         ax_h.set_title("face-count history")
         ax_h.set_xlabel("frame")

@@ -730,41 +730,17 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
 
         elif name == "QUANTIZE":
             (x_idx,) = op.inputs
-            in_q, out_q = t(x_idx).qparams, out_t.qparams
-            ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
-            spec = {"exact": exact, "zp_in": in_q.zero_point,
-                    "zp_out": out_q.zero_point, "sm": None}
-            if exact:
-                spec["qm"], spec["sh"] = quantize_multiplier(ratio)
-                # 256-value domain: the single-multiply form applies just
-                # like the leaky epilogue's (same deriver, one branch)
-                from yoloface_tpu.core.fixedpoint import \
-                    derive_single_multiply
-                spec["sm"] = derive_single_multiply(
-                    spec["qm"], spec["sh"], spec["qm"], spec["sh"],
-                    in_q.zero_point, out_q.zero_point)
-            else:
-                spec["scale"] = np.float32(ratio)
+            from yoloface_tpu.kernels.pallas_int8 import (apply_quantize_val,
+                                                          quantize_spec)
+            spec = quantize_spec(t(x_idx).qparams, out_t.qparams, exact)
 
             def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, spec=spec,
                      ow=ow, oh=oh):
-                from yoloface_tpu.kernels.pallas_int8 import apply_requant_sm
                 xr, c0, wb, hb = ctx.read_base(x_idx)
                 c = ctx.shapes[x_idx][0]
                 v = xr[_ix(L, slice(c0, c0 + c), slice(wb, wb + ow),
-                           slice(hb, hb + oh))].astype(jnp.int32) \
-                    - spec["zp_in"]
-                if spec["exact"] and spec["sm"] is not None:
-                    o = apply_requant_sm(v, spec["sm"])
-                elif spec["exact"]:
-                    # |v| <= 255 + |zp_in|: always within the bounded path
-                    o = multiply_by_quantized_multiplier_bounded(
-                        v, jnp.int32(spec["qm"]), jnp.int32(spec["sh"]))
-                else:
-                    o = jnp.round(v.astype(jnp.float32)
-                                  * spec["scale"]).astype(jnp.int32)
-                ctx.write(out_idx, 0, ow,
-                          jnp.clip(o + spec["zp_out"], -128, 127))
+                           slice(hb, hb + oh))]
+                ctx.write(out_idx, 0, ow, apply_quantize_val(v, spec))
 
             arena_ops.append(ArenaOp(out_idx, [(x_idx, NOPAD, 0, False)],
                                      [], emit))

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from yoloface_tpu.core.fixedpoint import (
     BOUNDED_MAX_ABS, derive_requant_rsm,
     multiply_by_quantized_multiplier,
-    multiply_by_quantized_multiplier_bounded)
+    multiply_by_quantized_multiplier_bounded, quantize_multiplier)
 
 DEFAULT_NT = 128  # frames per grid step (lane dim)
 
@@ -263,6 +263,41 @@ def acc_bound(abs_w_sum: np.ndarray, bias_eff: np.ndarray) -> int:
     2-multiply f32-assisted exact MBQM (fixedpoint.BOUNDED_MAX_ABS)."""
     return int((128 * np.asarray(abs_w_sum, np.int64).ravel()
                 + np.abs(np.asarray(bias_eff, np.int64)).ravel()).max())
+
+
+def quantize_spec(in_q, out_q, exact: bool) -> dict:
+    """Plan-time spec of a TFLite QUANTIZE (requantize) op, shared by the
+    arena and tiled lowerings (one source of truth for the sm-vs-bounded
+    dispatch).  256-value input domain: the single-multiply derivation
+    applies exactly like the leaky epilogue's (same deriver, one branch).
+    Ref semantics: tensorflow/lite reference_ops Requantize."""
+    ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
+    spec = {"exact": exact, "zp_in": in_q.zero_point,
+            "zp_out": out_q.zero_point, "sm": None}
+    if exact:
+        from yoloface_tpu.core.fixedpoint import derive_single_multiply
+        spec["qm"], spec["sh"] = quantize_multiplier(ratio)
+        spec["sm"] = derive_single_multiply(
+            spec["qm"], spec["sh"], spec["qm"], spec["sh"],
+            in_q.zero_point, out_q.zero_point)
+    else:
+        spec["scale"] = np.float32(ratio)
+    return spec
+
+
+def apply_quantize_val(x, spec: dict):
+    """In-kernel QUANTIZE on an int8 (or pre-widened int32) value."""
+    v = x.astype(jnp.int32) - spec["zp_in"]
+    if spec["exact"] and spec["sm"] is not None:
+        o = apply_requant_sm(v, spec["sm"])
+    elif spec["exact"]:
+        # |v| <= 255 + |zp_in|: always within the bounded path's contract
+        o = multiply_by_quantized_multiplier_bounded(
+            v, jnp.int32(spec["qm"]), jnp.int32(spec["sh"]))
+    else:
+        o = jnp.round(v.astype(jnp.float32)
+                      * spec["scale"]).astype(jnp.int32)
+    return jnp.clip(o + spec["zp_out"], -128, 127).astype(jnp.int8)
 
 
 def set_conv_bounds(requant: RequantSpec, abs_w_sum, bias_eff) -> None:

@@ -799,33 +799,12 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
 
         elif name == "QUANTIZE":
             (x_idx,) = op.inputs
-            in_q, out_q = t(x_idx).qparams, out_t.qparams
-            ratio = np.float64(in_q.scale) / np.float64(out_q.scale)
-            spec = {"exact": exact, "zp_in": in_q.zero_point,
-                    "zp_out": out_q.zero_point, "sm": None}
-            if exact:
-                spec["qm"], spec["sh"] = quantize_multiplier(ratio)
-                from yoloface_tpu.core.fixedpoint import \
-                    derive_single_multiply
-                spec["sm"] = derive_single_multiply(
-                    spec["qm"], spec["sh"], spec["qm"], spec["sh"],
-                    in_q.zero_point, out_q.zero_point)
-            else:
-                spec["scale"] = np.float32(ratio)
+            from yoloface_tpu.kernels.pallas_int8 import (apply_quantize_val,
+                                                          quantize_spec)
+            spec = quantize_spec(t(x_idx).qparams, out_t.qparams, exact)
 
             def q_val(v, spec=spec):
-                from yoloface_tpu.kernels.pallas_int8 import apply_requant_sm
-                v = v.astype(jnp.int32) - spec["zp_in"]
-                if spec["exact"] and spec["sm"] is not None:
-                    o = apply_requant_sm(v, spec["sm"])
-                elif spec["exact"]:
-                    o = multiply_by_quantized_multiplier_bounded(
-                        v, jnp.int32(spec["qm"]), jnp.int32(spec["sh"]))
-                else:
-                    o = jnp.round(v.astype(jnp.float32)
-                                  * spec["scale"]).astype(jnp.int32)
-                return jnp.clip(o + spec["zp_out"], -128,
-                                127).astype(jnp.int8)
+                return apply_quantize_val(v, spec)
 
             consumers.append((out_idx, x_idx, 1, 0, 1, 0, 0, None))
             pending.append((
