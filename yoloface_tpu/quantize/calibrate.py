@@ -94,7 +94,8 @@ def fold_batchnorm(variables, eps: float = 1e-5) -> Dict[int, Tuple[np.ndarray, 
 # --------------------------------------------------------------------------
 def float_forward(template: GraphDef,
                   weights: Dict[int, Tuple[np.ndarray, np.ndarray]],
-                  x_f32, alpha: float = 0.1) -> Dict[int, jnp.ndarray]:
+                  x_f32, alpha: float = 0.1,
+                  fq=None) -> Dict[int, jnp.ndarray]:
     """Run the template topology in float32.  Returns env of every tensor.
 
     x_f32: [N,56,56,3] in the converter's input domain ([0,1] after /255).
@@ -102,8 +103,15 @@ def float_forward(template: GraphDef,
     the input zero-point represents... the darknet zero pad, which is 0 in
     the /255 domain only at black — the reference Keras graph zero-pads the
     *raw float* feature maps, so 0.0 is correct for every PAD here).
+
+    fq: optional ``(tensor_idx, value) -> value`` hook applied to the input
+    and every op output — the QAT fake-quantization insertion point
+    (quantize/qat.py); None = plain float semantics.
     """
-    env: Dict[int, jnp.ndarray] = {template.inputs[0]: jnp.asarray(x_f32)}
+    x0 = jnp.asarray(x_f32)
+    if fq is not None:
+        x0 = fq(template.inputs[0], x0)
+    env: Dict[int, jnp.ndarray] = {template.inputs[0]: x0}
     for op in template.ops:
         o = op.outputs[0]
         if op.opname == "PAD":
@@ -129,7 +137,8 @@ def float_forward(template: GraphDef,
                     precision=lax.Precision.HIGHEST)
             else:
                 c = w.shape[3]
-                rhs = jnp.asarray(np.transpose(w, (1, 2, 0, 3)))
+                # jnp.transpose: w may be a traced fake-quant value (QAT)
+                rhs = jnp.transpose(jnp.asarray(w), (1, 2, 0, 3))
                 acc = lax.conv_general_dilated(
                     x, rhs, stride, "VALID",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -167,6 +176,8 @@ def float_forward(template: GraphDef,
                                 ow // x.shape[2], axis=2)
         else:
             raise NotImplementedError(op.opname)
+        if fq is not None:
+            env[o] = fq(o, env[o])
     return env
 
 
@@ -248,34 +259,41 @@ def quantize_weights_per_channel(w: np.ndarray, channel_axis: int
 # --------------------------------------------------------------------------
 # 4. assemble the quantized GraphDef
 # --------------------------------------------------------------------------
+def derive_act_qparams(template: GraphDef, ranges,
+                       input_qparams: Optional[QParams] = None
+                       ) -> Dict[int, QParams]:
+    """Activation qparams from observed ranges + the converter's structural
+    sharing rules:
+      * PAD output shares its input's qparams;
+      * CONCATENATION inputs (the QUANTIZE outputs) share the concat
+        output's qparams (that is why the converter inserted them);
+      * MAX_POOL / RESIZE_NEAREST / RELU outputs share input qparams
+        (TFLite requires same in/out quantization for those ops).
+    Shared with the QAT fake-quant simulation (quantize/qat.py) so the
+    training-time grid IS the deployment grid."""
+    act_q: Dict[int, QParams] = {}
+    for ti, (lo, hi) in ranges.items():
+        act_q[ti] = choose_qparams(lo, hi)
+    act_q[template.inputs[0]] = (input_qparams
+                                 or QParams((1.0 / 255.0,), (-128,)))
+    for op in template.ops:
+        if op.opname == "PAD":
+            act_q[op.outputs[0]] = act_q[op.inputs[0]]
+    for op in template.ops:
+        if op.opname == "CONCATENATION":
+            for i in op.inputs:
+                act_q[i] = act_q[op.outputs[0]]
+    for op in template.ops:
+        if op.opname in ("MAX_POOL_2D", "RESIZE_NEAREST_NEIGHBOR", "RELU"):
+            act_q[op.outputs[0]] = act_q[op.inputs[0]]
+    return act_q
+
+
 def build_int8_graph(template: GraphDef, weights, ranges,
                      input_qparams: Optional[QParams] = None) -> GraphDef:
     """New GraphDef: template topology + fresh weights/activation qparams."""
     g = copy.deepcopy(template)
-    input_q = input_qparams or QParams((1.0 / 255.0,), (-128,))
-
-    # activation qparams from observed ranges
-    act_q: Dict[int, QParams] = {}
-    for ti, (lo, hi) in ranges.items():
-        act_q[ti] = choose_qparams(lo, hi)
-    act_q[g.inputs[0]] = input_q
-
-    # structural rules copied from the converter's behavior:
-    #  * PAD output shares its input's qparams;
-    #  * CONCATENATION inputs (the QUANTIZE outputs) share the concat
-    #    output's qparams (that is why the converter inserted them).
-    for op in g.ops:
-        if op.opname == "PAD":
-            act_q[op.outputs[0]] = act_q[op.inputs[0]]
-    for op in g.ops:
-        if op.opname == "CONCATENATION":
-            for i in op.inputs:
-                act_q[i] = act_q[op.outputs[0]]
-    # MAX_POOL / RESIZE_NEAREST outputs share input qparams (TFLite
-    # requires same in/out quantization for both)
-    for op in g.ops:
-        if op.opname in ("MAX_POOL_2D", "RESIZE_NEAREST_NEIGHBOR", "RELU"):
-            act_q[op.outputs[0]] = act_q[op.inputs[0]]
+    act_q = derive_act_qparams(template, ranges, input_qparams)
 
     for ti, q in act_q.items():
         g.tensors[ti].qparams = q
