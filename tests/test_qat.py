@@ -88,3 +88,80 @@ def test_qat_variables_deploy_through_the_ptq_chain(int8_graph, setup):
                                        jnp.asarray(imgs), act_sz))
     err = np.abs(y_sim - y_eng) / outq.scale
     assert err.mean() < 1.5, f"mean {err.mean():.2f} int8 steps"
+
+
+def test_weight_space_qat_arbitrary_darknet_template():
+    """QAT generalizes to ANY imported template: the folded float weights
+    of a darknet-cfg graph are the trainable leaves (no Flax model
+    needed); optimization reduces a quantized-domain loss and the result
+    deploys through calibrate_from_weights' chain unchanged."""
+    from yoloface_tpu.io.darknet_cfg import DarknetNet, template_from_darknet
+    from yoloface_tpu.quantize.calibrate import observe_ranges
+
+    cfg = """
+[net]
+width=16
+height=16
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=4
+size=1
+stride=1
+activation=linear
+"""
+    net = DarknetNet(cfg)
+    rng = np.random.default_rng(3)
+    params = {}
+    for i, layer in enumerate(net.layers):
+        if layer.kind != "conv":
+            continue
+        k, co = layer.size, layer.filters
+        ci = 1 if layer.depthwise else layer.cin
+        p = {"kernel": rng.normal(0, 0.4 / np.sqrt(k * k * ci),
+                                  (k, k, ci, co)).astype(np.float32)}
+        if layer.bn:
+            p["bn_scale"] = rng.uniform(0.5, 1.5, co).astype(np.float32)
+            p["bn_bias"] = rng.normal(0, 0.2, co).astype(np.float32)
+            p["bn_mean"] = rng.normal(0, 0.2, co).astype(np.float32)
+            p["bn_var"] = rng.uniform(0.5, 1.5, co).astype(np.float32)
+        else:
+            p["bias"] = rng.normal(0, 0.2, co).astype(np.float32)
+        params[f"layer{i}"] = p
+    template, weights = template_from_darknet(net, params)
+
+    imgs = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    target = rng.normal(0, 0.5, (8, 8, 8, 4)).astype(np.float32)
+    ranges = observe_ranges(template, weights, imgs)
+
+    loss_fn = lambda out, tgt: jnp.mean((out - tgt) ** 2)  # noqa: E731
+    step, init_opt = qat.make_qat_step_weights(template, ranges, loss_fn,
+                                               lr=3e-3)
+    opt = init_opt(weights)
+    w, losses = weights, []
+    for _ in range(10):
+        w, opt, loss = step(w, opt, jnp.asarray(imgs), jnp.asarray(target))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] and np.isfinite(losses).all()
+
+    # deploys through the unchanged PTQ chain
+    w_np = {k: (np.asarray(a), np.asarray(b)) for k, (a, b) in w.items()}
+    g = build_int8_graph(template, w_np, ranges,
+                         input_qparams=None)
+    eng = Int8Engine(g, mode="exact")
+    inq = g.tensor(g.inputs[0]).qparams
+    x8 = np.clip(np.round(imgs / inq.scale + inq.zero_point),
+                 -128, 127).astype(np.int8)
+    y = np.asarray(eng(x8))
+    assert y.shape == (8, 8, 8, 4) and y.dtype == np.int8

@@ -172,3 +172,63 @@ def qat_finetune(template: GraphDef, variables, ranges, batches, *,
                                           jnp.asarray(targets, jnp.float32))
         losses.append(float(loss))
     return variables, losses
+
+
+# --------------------------------------------------------------------------
+# weight-space QAT: ANY imported template (darknet-cfg family, retargets)
+# --------------------------------------------------------------------------
+def qat_forward_weights(template: GraphDef, weights, x_f32, act_sz,
+                        dw_ops=None):
+    """Fake-quantized forward where the FOLDED float weights
+    ``{op_index: (w, b)}`` (the ``calibrate_from_weights`` convention —
+    TFLite layouts, BN already folded) are themselves the trainable
+    leaves.  Generalizes QAT to every graph the importer can produce:
+    darknet .cfg templates (io/darknet_cfg.template_from_darknet),
+    retargeted scales, multi-head FPNs."""
+    if dw_ops is None:
+        dw_ops = {op.index for op in template.ops
+                  if op.opname == "DEPTHWISE_CONV_2D"}
+    fq_w = {k: (fake_quant_w(jnp.asarray(w), 3 if k in dw_ops else 0),
+                jnp.asarray(b))
+            for k, (w, b) in weights.items()}
+
+    def fq(ti, v):
+        sz = act_sz.get(ti)
+        if sz is None or v.dtype not in (jnp.float32, jnp.float64):
+            return v
+        return fake_quant_act(v, sz[0], sz[1])
+
+    env = float_forward(template, fq_w, x_f32, fq=fq)
+    outs = [env[o] for o in template.outputs]
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def make_qat_step_weights(template: GraphDef, ranges, loss_fn, *,
+                          lr: float = 5e-4,
+                          input_qparams: Optional[QParams] = None):
+    """(step, init_opt) optimizing the folded weights dict directly.
+
+    ``loss_fn(outputs, targets)`` receives the template's output tensor
+    (or tuple for multi-head graphs).  step(weights, opt_state, images01,
+    targets) -> (weights', opt_state', loss).  The result feeds
+    ``calibrate.build_int8_graph(template, weights', ranges)`` unchanged."""
+    act_sz = qat_act_qparams(template, ranges, input_qparams)
+    dw_ops = {op.index for op in template.ops
+              if op.opname == "DEPTHWISE_CONV_2D"}
+    tx = optax.adam(lr)
+
+    def loss_of(weights, images, targets):
+        out = qat_forward_weights(template, weights, images, act_sz,
+                                  dw_ops=dw_ops)
+        return loss_fn(out, targets)
+
+    @jax.jit
+    def step(weights, opt_state, images, targets):
+        loss, grads = jax.value_and_grad(loss_of)(weights, images, targets)
+        updates, opt_state = tx.update(grads, opt_state, weights)
+        return optax.apply_updates(weights, updates), opt_state, loss
+
+    def init_opt(weights):
+        return tx.init(jax.tree.map(jnp.asarray, weights))
+
+    return step, init_opt
