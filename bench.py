@@ -48,7 +48,8 @@ TFLITE = "/root/reference/yoloface/tflite/yoloface_int8.tflite"
 # round, so the bench itself owns availability: poll the tunnel health
 # endpoint and retry the first device op for a bounded window before
 # failing loudly.  BENCH_TPU_WAIT_S=0 disables (e.g. CPU smoke runs).
-TPU_HEALTH_URL = "http://127.0.0.1:8083/health"
+TPU_HEALTH_URL = os.environ.get("BENCH_TPU_HEALTH_URL",
+                                "http://127.0.0.1:8083/health")
 TPU_WAIT_S = float(os.environ.get("BENCH_TPU_WAIT_S", "600"))
 
 
@@ -71,6 +72,11 @@ def _gate_on_tunnel(deadline):
     us; gate on the health endpoint BEFORE the first device touch so the
     bench either runs or fails with a diagnosable message within
     BENCH_TPU_WAIT_S, never hangs the driver.
+
+    The gate is ADVISORY when the proxy itself is simply absent (e.g. a
+    driver topology without the localhost health endpoint): before giving
+    up it probes backend init in a SUBPROCESS with a hard timeout — a
+    working backend proceeds, a hung/raising one fails loudly.
     """
     if TPU_WAIT_S <= 0 or _tunnel_healthy():
         return
@@ -81,10 +87,32 @@ def _gate_on_tunnel(deadline):
             time.sleep(5)  # give the backend a beat after health returns
             return
         time.sleep(10)
+    print("bench: health endpoint never answered — probing backend init in "
+          "a subprocess (the endpoint may just not exist here)...",
+          file=sys.stderr)
+    if _backend_probe():
+        print("bench: backend is reachable; proceeding without the health "
+              "endpoint.", file=sys.stderr)
+        return
     raise RuntimeError(
-        f"TPU tunnel health endpoint ({TPU_HEALTH_URL}) still unreachable "
-        f"after {TPU_WAIT_S:.0f}s — backend init would hang; failing loudly "
-        "instead. Set BENCH_TPU_WAIT_S to adjust the window.")
+        f"TPU tunnel health endpoint ({TPU_HEALTH_URL}) unreachable for "
+        f"{TPU_WAIT_S:.0f}s AND a subprocess backend probe failed — backend "
+        "init would hang; failing loudly instead. Set BENCH_TPU_WAIT_S / "
+        "BENCH_TPU_HEALTH_URL to adjust.")
+
+
+def _backend_probe(timeout=180.0):
+    """Can a FRESH process initialize the backend and see a TPU?  Runs in a
+    subprocess so the round-4 outage mode (backend init hangs forever)
+    costs a bounded timeout, never a hung bench."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            timeout=timeout, capture_output=True, text=True)
+        return r.returncode == 0 and "TPU" in r.stdout
+    except Exception:
+        return False
 
 
 def _retry_tpu(fn, what):
@@ -192,20 +220,12 @@ def main():
     scale448 = {}
     if os.environ.get("BENCH_448", "1") != "0":
         from yoloface_tpu.graph.retarget import retarget_spatial
+        from yoloface_tpu.runtime.profiler import macc_per_op
         g448 = retarget_spatial(graph, 8)
-
-        def graph_macs(g):
-            """Static MACs/frame (the reference's codegen MACC report
-            role, network_generate_report.txt:488-515)."""
-            total = 0
-            for op in g.ops:
-                if op.opname in ("CONV_2D", "DEPTHWISE_CONV_2D"):
-                    w = g.tensor(op.inputs[1]).data
-                    o = g.tensor(op.outputs[0]).shape
-                    ci = w.shape[3] if op.opname == "CONV_2D" else 1
-                    total += o[1] * o[2] * o[3] * w.shape[1] * w.shape[2] * ci
-            return total
-        macs448 = graph_macs(g448)
+        # static MACs/frame (the reference's codegen MACC report role,
+        # network_generate_report.txt:488-515) — the profiler's counter,
+        # so bench TOPS and the MACC attribution can never drift apart
+        macs448 = sum(macc_per_op(g448).values())
         n448 = int(os.environ.get("BENCH_448_BATCH", "1024"))
         x448 = _retry_tpu(lambda: jax.jit(lambda: jax.random.randint(
             jax.random.key(2), (n448, 448, 448, 3), -128, 128,

@@ -487,3 +487,52 @@ def test_derive_requant_rsm_random_property():
     # the form should derive for the overwhelming majority of realistic
     # configs (24/24 on the shipped graph); require a healthy rate here
     assert derived >= 18, f"only {derived}/24 random configs derived"
+
+
+def test_derive_requant_rsm_extreme_shift_never_wrong():
+    """Regression: very negative requant shifts (near-zero effective scales,
+    reachable through arbitrary imported templates) make the collapsed
+    single-floor exponent K = 31 - shift exceed int64 headroom for the
+    run-boundary ``j << K`` — the derivation must either return bit-exact
+    constants or None, never silently-wrong constants (the run math now
+    uses python ints and every run endpoint is cross-checked against the
+    int64 gemmlowp port)."""
+    from yoloface_tpu.core.fixedpoint import (derive_requant_rsm,
+                                              mbqm_numpy,
+                                              quantize_multiplier)
+
+    rng = np.random.default_rng(7)
+
+    # sub-2**-31 multipliers underflow to qm == 0 — must fall back (None),
+    # not divide by zero
+    assert derive_requant_rsm(np.array([0], np.int64),
+                              np.array([0], np.int64),
+                              np.array([1000], np.int64), 120, 135) is None
+
+    checked = 0
+    for real in (1e-9, 3e-10, 2.4e-8, 6e-10, 1.1e-9):
+        qm, shift = quantize_multiplier(real)
+        assert shift <= -24       # the overflowing regime pre-fix
+        bounds = np.array([int(rng.integers(1 << 10, 1 << 19))], np.int64)
+        zp = int(rng.integers(-100, 100))
+        sat_pos, sat_neg = 127 - zp, 128 + zp
+        rsm = derive_requant_rsm(np.array([qm], np.int64),
+                                 np.array([shift], np.int64),
+                                 bounds, sat_pos, sat_neg)
+        if rsm is None:
+            continue              # honest fallback is acceptable
+        checked += 1
+        k1, k2, m1, m2, c_p, c_n, a_p, a_n = rsm
+        a = np.arange(0, int(bounds[0]) + 1, dtype=np.int64)
+        for neg, satmag, cc, A in ((False, sat_pos, c_p[0], a_p[0]),
+                                   (True, sat_neg, c_n[0], a_n[0])):
+            truth = np.minimum(
+                np.abs(mbqm_numpy(-a if neg else a, qm, shift)), satmag)
+            ac = np.minimum(a, int(A))
+            got = (ac * int(m2[0]) + ((ac * int(m1[0])) >> k1)
+                   + int(cc)) >> k2
+            np.testing.assert_array_equal(
+                got, truth, err_msg=f"real={real} neg={neg}")
+    # at these scales the whole domain maps to magnitude 0 or 1 — the
+    # reduced form should derive trivially, so require it actually did
+    assert checked >= 3, f"only {checked}/5 extreme-shift configs derived"

@@ -73,6 +73,10 @@ def test_split_structure(g2, monkeypatch):
                                        pytest.param("pallas_tiled", "fast",
                                                     marks=pytest.mark.slow)])
 def test_tiled_bit_parity(g2, monkeypatch, mode, twin):
+    # pure tiled: the baked DEFAULT_TILE_XLA hybrid default would route
+    # most sections to the XLA twin on BOTH sides, silently gutting the
+    # tiled-kernel coverage (incl. the exact rsm epilogues) this test owns
+    monkeypatch.setenv("YOLOFACE_TPU_TILE_XLA", "none")
     _lower_threshold(monkeypatch)
     rng = np.random.default_rng(0)
     x = rng.integers(-128, 128, (2, 112, 112, 3)).astype(np.int8)

@@ -97,20 +97,26 @@ def main():
         if mode in tiled:
             print("448", mode, tiled[mode], flush=True)
 
-    # pure-tiled entry: the framework's OWN kernels end to end, even when
-    # DEFAULT_TILE_XLA bakes a hybrid routing into the plain modes
+    # pure-tiled entries: the framework's OWN kernels end to end (fast2
+    # AND exact bits — the exact rsm epilogue must see real Mosaic on
+    # every section kind), even when DEFAULT_TILE_XLA bakes a hybrid
+    # routing into the plain modes
     _os.environ["YOLOFACE_TPU_TILE_XLA"] = "none"
     try:
-        y = np.asarray(Int8Engine(g448, mode="pallas_tiled2")(x448))
-        tiled["pallas_tiled2_pure"] = {
-            "compiled": True,
-            "bit_exact_vs_twin": bool(np.array_equal(y, twin448["fast2"]))}
-    except Exception as e:  # noqa: BLE001 - record, don't hide
-        tiled["pallas_tiled2_pure"] = {"compiled": False,
-                                       "error": str(e).splitlines()[0][:200]}
+        for mode, tw in (("pallas_tiled2", "fast2"),
+                         ("pallas_tiled_exact", "exact")):
+            key = mode + "_pure"
+            try:
+                y = np.asarray(Int8Engine(g448, mode=mode)(x448))
+                tiled[key] = {
+                    "compiled": True,
+                    "bit_exact_vs_twin": bool(np.array_equal(y, twin448[tw]))}
+            except Exception as e:  # noqa: BLE001 - record, don't hide
+                tiled[key] = {"compiled": False,
+                              "error": str(e).splitlines()[0][:200]}
+            print("448", key, tiled[key], flush=True)
     finally:
         del _os.environ["YOLOFACE_TPU_TILE_XLA"]
-    print("448 pallas_tiled2_pure", tiled["pallas_tiled2_pure"], flush=True)
 
     # fast-bits modes legitimately differ from the reference kernels by
     # float-rounding drift; exact-bits modes must match the oracle, and

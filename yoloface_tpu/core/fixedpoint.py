@@ -262,18 +262,43 @@ def _rsm_runs(qm: int, shift: int, bound: int, satmag: int, neg: bool):
     ``[0, A]`` the first/last input producing it.  Because the reduced form
     ``X(a)`` below is monotone nondecreasing in ``a``, bit-exactness over
     every run's two ENDPOINTS implies bit-exactness over the whole run —
-    the endpoint check is exhaustive."""
+    the endpoint check is exhaustive.
+
+    Run boundaries are computed in PYTHON ints: ``K = 31 + right`` can
+    exceed 55 for very negative shifts (near-zero effective scales in
+    arbitrary imported templates), where an int64 ``j << K`` would silently
+    wrap.  Every run endpoint is then cross-checked against the int64
+    gemmlowp port (:func:`mbqm_numpy`) so the derivation verifies against
+    the ground-truth double rounding, not against its own folded form;
+    returns None on any mismatch (callers fall back to the bounded MBQM)."""
     QM, N, K = _rsm_fold(qm, shift, neg)
+    if QM <= 0:                   # underflowed multiplier (qm == 0)
+        return None
+    if bound * QM >= (1 << 62):   # outside mbqm_numpy's exact int64 domain
+        return None
     a_sat = max(0, -(-((satmag << K) - N) // QM))     # ceil division
     A = a_sat if a_sat <= bound else bound
     j_end = satmag if a_sat <= bound else int((A * QM + N) >> K)
-    js = np.arange(0, j_end + 1, dtype=np.int64)
-    a_start = np.maximum(0, -(-((js << K) - N) // QM))
-    a_end = np.empty_like(a_start)
-    a_end[:-1] = a_start[1:] - 1
-    a_end[-1] = A
-    ok = a_start <= a_end
-    return A, js[ok], a_start[ok], a_end[ok]
+    starts = [max(0, -(-((j << K) - N) // QM)) for j in range(j_end + 1)]
+    js, a_start, a_end = [], [], []
+    for j in range(j_end + 1):
+        s = starts[j]
+        e = (starts[j + 1] - 1) if j + 1 <= j_end else A
+        if s <= e:
+            js.append(j)
+            a_start.append(s)
+            a_end.append(e)
+    js = np.asarray(js, np.int64)
+    a_start = np.asarray(a_start, np.int64)
+    a_end = np.asarray(a_end, np.int64)
+    # independent ground-truth check of every run endpoint
+    sgn = -1 if neg else 1
+    for pts in (a_start, a_end):
+        got = np.minimum(np.abs(mbqm_numpy(sgn * pts, qm, shift)),
+                         np.int64(satmag))
+        if not np.array_equal(got, js):
+            return None
+    return A, js, a_start, a_end
 
 
 def derive_requant_rsm(qms, shifts, bounds, sat_pos: int, sat_neg: int):
@@ -346,7 +371,10 @@ def _rsm_channel(qm, shift, bound, sat_pos, sat_neg, k1, k2):
             cs, As = [], []
             ok = True
             for neg, satmag in ((False, sat_pos), (True, sat_neg)):
-                A, js, a_s, a_e = _rsm_runs(qm, shift, bound, satmag, neg)
+                runs = _rsm_runs(qm, shift, bound, satmag, neg)
+                if runs is None:        # fold failed its ground-truth check
+                    return None
+                A, js, a_s, a_e = runs
                 x_s = a_s * m2 + ((a_s * m1) >> k1)
                 x_e = a_e * m2 + ((a_e * m1) >> k1)
                 clo = max(int((js * (1 << k2) - x_s).max()), 0)

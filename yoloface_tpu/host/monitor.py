@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import collections
 import json
+import os
 import sys
 from typing import Deque, Optional
 
@@ -133,6 +134,22 @@ class MonitorState:
         plt.close(fig)
 
 
+def _render_point(state: MonitorState, render_every: int, out,
+                  draw_canvas: bool, save_png: Optional[str]) -> None:
+    """One per-frame render decision + output (shared by every source so
+    the cadence / canvas / PNG-naming logic cannot drift between the
+    stream monitor and the live camera loop)."""
+    if state.frames % render_every != 0:
+        return
+    print(state.render(), file=out)
+    if draw_canvas:
+        print(state.ascii_canvas(), file=out)
+    print("-" * 40, file=out)
+    if save_png:
+        state.render_png(os.path.join(
+            save_png, f"frame_{state.frames:05d}.png"))
+
+
 def run_monitor(stream, render_every: int = 1, out=sys.stdout,
                 draw_canvas: bool = False,
                 save_png: Optional[str] = None) -> MonitorState:
@@ -142,20 +159,11 @@ def run_monitor(stream, render_every: int = 1, out=sys.stdout,
     state = MonitorState()
     parser = protocol.StreamParser()
     if save_png:
-        import os
         os.makedirs(save_png, exist_ok=True)
     for chunk in stream:
         for frame in parser.feed(chunk):
             state.update(frame)
-            if state.frames % render_every == 0:
-                print(state.render(), file=out)
-                if draw_canvas:
-                    print(state.ascii_canvas(), file=out)
-                print("-" * 40, file=out)
-                if save_png:
-                    import os
-                    state.render_png(os.path.join(
-                        save_png, f"frame_{state.frames:05d}.png"))
+            _render_point(state, render_every, out, draw_canvas, save_png)
     return state
 
 
@@ -274,22 +282,13 @@ def main(argv=None):
         state = MonitorState()
         parser = protocol.StreamParser()
         if args.save_png:
-            import os
             os.makedirs(args.save_png, exist_ok=True)
 
         def on_frame(text):
             for frame in parser.feed(text):
                 state.update(frame)
-                if state.frames % args.render_every == 0:
-                    print(state.render())
-                    if args.canvas:
-                        print(state.ascii_canvas())
-                    print("-" * 40)
-                    if args.save_png:
-                        import os
-                        state.render_png(os.path.join(
-                            args.save_png,
-                            f"frame_{state.frames:05d}.png"))
+                _render_point(state, args.render_every, sys.stdout,
+                              args.canvas, args.save_png)
 
         stats = CameraStreamer(pipe, src).run(args.batches,
                                               on_frame=on_frame)
