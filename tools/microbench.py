@@ -409,9 +409,96 @@ def inkernel_probe():
           C * (S + 2) * (S + 2) * batch * R / 1e9)
 
 
+def dw16_probe():
+    """dw 3x3 tap arithmetic width A/B: int32 (current arena emission)
+    vs int16 (2-packed storage on TPU — does Mosaic execute packed int16
+    multiply-adds faster, or unpack-compute-repack slower?).  Decides the
+    round-1 'int16 taps where ranges allow' lever with a measurement:
+    per-channel accumulators with static bound < 2**15 could run the 9
+    widening FMAs at half width IF this probe shows a win.  Overflow
+    wrap-around is irrelevant here (speed probe; the real emission would
+    gate on the static bound).  WHCN layout (the flagship arena's).
+
+    Usage: python tools/microbench.py dw16 [batch]
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+    NT = 128
+    R = 16
+    rng = np.random.default_rng(0)
+
+    def timed(name, call, x, gmac_total):
+        try:
+            f = jax.jit(call)
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            t0 = time.perf_counter()
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            ms = (time.perf_counter() - t0) * 1e3
+            print(f"{name:>30s}: {ms / R:7.3f} ms/op "
+                  f"({gmac_total / ms:6.1f} GMAC/ms)", flush=True)
+        except Exception as e:
+            print(f"{name:>30s}: FAILED {str(e).splitlines()[0][:110]}",
+                  flush=True)
+
+    for C, S in [(40, 14), (16, 28), (48, 7)]:
+        SP = S + 2
+        x = jnp.asarray(rng.integers(-128, 128, (SP, SP, C, batch)),
+                        jnp.int8)
+        # small weights so int16 accs stay representative of the gated case
+        w = jnp.asarray(rng.integers(-8, 8, (9, C)), jnp.int32)
+        g = C * S * S * batch * 9 * R / 1e9
+
+        def pc(kern, acc_dt):
+            return pl.pallas_call(
+                kern,
+                grid=(batch // NT,),
+                in_specs=[
+                    pl.BlockSpec((SP, SP, C, NT), lambda i: (0, 0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((9, C), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((S, S, C, NT),
+                                       lambda i: (0, 0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((S, S, C, batch), acc_dt),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )
+
+        def kdw(xr, wr, o, S=S, C=C, dt=jnp.int32):
+            # single widen per rep, taps as value slices (the arena's
+            # dw shape); (w + r) perturbation defeats rep hoisting
+            acc = jnp.zeros((S, S, C, NT), dt)
+            xv = xr[:].astype(dt)
+            for r in range(R):
+                for dy in range(3):
+                    for dx in range(3):
+                        tap = (wr[dy * 3 + dx] + r).astype(dt)
+                        acc = acc + xv[dy:dy + S, dx:dx + S] * tap.reshape(
+                            1, 1, C, 1)
+            o[:] = acc
+
+        def kdw16(xr, wr, o, S=S, C=C):
+            kdw(xr, wr, o, S=S, C=C, dt=jnp.int16)
+
+        timed(f"whcn dw i32 taps C={C}@{S}",
+              lambda v, C=C, S=S: pc(kdw, jnp.int32)(v, w), x, g)
+        timed(f"whcn dw i16 taps C={C}@{S}",
+              lambda v, C=C, S=S: pc(kdw16, jnp.int16)(v, w), x, g)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "conv1x1":
         conv1x1_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "dw16":
+        dw16_probe()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "whcn":
         whcn_probe()

@@ -48,4 +48,5 @@ run modes_live3  900  env YOLOFACE_TPU_EXACT_LIVE=3 python tools/profile_tpu.py 
 run modes_strip32 900 env YOLOFACE_TPU_STRIP_TARGET=33554432 YOLOFACE_TPU_EXACT_LIVE=4 python tools/profile_tpu.py modes 32768 pallas_mxu_exact
 run sweep448     3600 python tools/profile_tpu.py sweep448 1024
 run bench        2400 python bench.py
+run dw16         900  python tools/microbench.py dw16 32768
 echo "ALL DONE [$RUN_ID] $(date)" | tee -a /tmp/tpu_evidence/driver.log
