@@ -49,4 +49,9 @@ run modes_strip32 900 env YOLOFACE_TPU_STRIP_TARGET=33554432 YOLOFACE_TPU_EXACT_
 run sweep448     3600 python tools/profile_tpu.py sweep448 1024
 run bench        2400 python bench.py
 run dw16         900  python tools/microbench.py dw16 32768
+# pure-tiled knob probes at the winning-section shapes: lane-tile width,
+# VMEM-target (fewer strips = less halo recompute), chunk size
+run sweep448_nt64   1200 env YOLOFACE_TPU_TILE_NT=64 python tools/profile_tpu.py sweep448 1024 'none'
+run sweep448_vm128  1200 env YOLOFACE_TPU_TILE_VMEM=134217728 python tools/profile_tpu.py sweep448 1024 'none'
+run sweep448_ck32   1200 env YOLOFACE_TPU_TILE_CHUNK=33554432 python tools/profile_tpu.py sweep448 1024 'none'
 echo "ALL DONE [$RUN_ID] $(date)" | tee -a /tmp/tpu_evidence/driver.log
