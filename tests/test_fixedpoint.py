@@ -489,6 +489,92 @@ def test_derive_requant_rsm_random_property():
     assert derived >= 18, f"only {derived}/24 random configs derived"
 
 
+def test_fused_epilogue_random_configs_property():
+    """The fully-fused exact conv+leaky epilogue over RANDOM quant configs
+    — the arbitrary-imported-template surface (darknet-cfg PTQ, QAT
+    re-deploys, retargets), not just the shipped graph's 17 pairs.
+    Whichever reduced forms derive for a config (single-multiply leaky,
+    rsm requant, bounded-MBQM, or the general-limb fallback), the fused
+    chain must equal the staged general-limb reference bit-for-bit within
+    the per-channel static accumulator bound."""
+    import jax.numpy as jnp
+
+    from yoloface_tpu.core.fixedpoint import multiply_by_quantized_multiplier
+    from yoloface_tpu.kernels.pallas_int8 import (LeakySpec, acc_bound,
+                                                  apply_requant_leaky)
+    from yoloface_tpu.runtime.pallas_plan import _requant_spec
+    from yoloface_tpu.core.fixedpoint import (derive_single_multiply,
+                                              quantize_multiplier)
+
+    rng = np.random.default_rng(11)
+    n_sm = n_rsm = 0
+    for trial in range(14):
+        C = int(rng.integers(1, 6))
+        s_w = np.exp(rng.uniform(np.log(1e-4), np.log(0.5), C))
+        s_in = float(np.exp(rng.uniform(np.log(1e-3), np.log(0.2))))
+        # two trials push the effective scale to the extreme-shift regime
+        # (the regime the rsm overflow fix guards)
+        s_out = (1e6 if trial < 2
+                 else float(np.exp(rng.uniform(np.log(1e-3), np.log(0.5)))))
+        zp_conv = int(rng.integers(-128, 128))
+        rq = _requant_spec(s_in, s_w, s_out, zp_conv, True)
+        abs_w_sum = rng.integers(1, 2048, C)
+        bias_eff = rng.integers(-(1 << 15), 1 << 15, C).astype(np.int32)
+        rq.bound = acc_bound(abs_w_sum, bias_eff)
+
+        alpha = float(rng.uniform(0.05, 0.3))
+        ratio = float(rng.uniform(0.4, 2.5))
+        zp_leaky = int(rng.integers(-128, 128))
+        qm_id, sh_id = quantize_multiplier(ratio)
+        qm_al, sh_al = quantize_multiplier(ratio * alpha)
+        sm = derive_single_multiply(qm_id, sh_id, qm_al, sh_al,
+                                    zp_conv, zp_leaky)
+        lk = LeakySpec(zp_in=zp_conv, zp_out=zp_leaky, s_id=ratio,
+                       s_al=ratio * alpha, qm_id=qm_id, sh_id=sh_id,
+                       qm_al=qm_al, sh_al=sh_al, exact=True, sm=sm)
+        n_sm += sm is not None
+
+        bounds_c = (128 * np.abs(abs_w_sum.astype(np.int64))
+                    + np.abs(bias_eff.astype(np.int64)))
+        accs = np.concatenate([
+            np.arange(-600, 600),
+            rng.integers(-rq.bound, rq.bound + 1, 2000),
+            np.array([0, 1, -1, rq.bound, -rq.bound])]).astype(np.int64)
+        acc4 = np.broadcast_to(accs[None, :, None, None],
+                               (C, accs.size, 1, 1))
+        acc4 = np.clip(acc4, -bounds_c[:, None, None, None],
+                       bounds_c[:, None, None, None]).astype(np.int32)
+
+        # staged general-limb reference
+        p1, p2 = rq.operands()
+        v = np.asarray(multiply_by_quantized_multiplier(
+            jnp.asarray(acc4), np.asarray(p1).reshape(C, 1, 1, 1),
+            np.asarray(p2).reshape(C, 1, 1, 1)))
+        v = np.clip(v, -128 - zp_conv, 127 - zp_conv)
+        lk_nosm = LeakySpec(zp_in=zp_conv, zp_out=zp_leaky, s_id=ratio,
+                            s_al=ratio * alpha, qm_id=qm_id, sh_id=sh_id,
+                            qm_al=qm_al, sh_al=sh_al, exact=True, sm=None)
+        want = np.asarray(lk_nosm.apply_exact_i32(jnp.asarray(v)))
+
+        # fused, bounded/sm forms as available
+        fused = np.asarray(apply_requant_leaky(rq, lk, jnp.asarray(acc4),
+                                               [p1, p2]))
+        np.testing.assert_array_equal(fused, want,
+                                      err_msg=f"trial {trial} (bounded)")
+        # fused, reduced rsm form when it derives
+        rq.derive_rsm(abs_w_sum, bias_eff)
+        if rq.rsm is not None:
+            n_rsm += 1
+            fused_rsm = np.asarray(apply_requant_leaky(
+                rq, lk, jnp.asarray(acc4),
+                [jnp.asarray(a) for a in rq.operand_arrays()]))
+            np.testing.assert_array_equal(fused_rsm, want,
+                                          err_msg=f"trial {trial} (rsm)")
+    # the reduced forms must actually engage for most realistic configs
+    assert n_sm >= 8, f"single-multiply leaky derived only {n_sm}/14"
+    assert n_rsm >= 8, f"rsm requant derived only {n_rsm}/14"
+
+
 def test_derive_requant_rsm_extreme_shift_never_wrong():
     """Regression: very negative requant shifts (near-zero effective scales,
     reachable through arbitrary imported templates) make the collapsed
