@@ -104,6 +104,46 @@ def test_hybrid_xla_routing_bit_parity(g2, monkeypatch, xla_secs):
     assert np.array_equal(ref, out)
 
 
+def test_tiled_pad_into_maxpool_honors_pad_fill(monkeypatch):
+    """Regression: an explicit PAD feeding MAX_POOL_2D pads with the PAD
+    output's zero-point — those cells are REAL pool inputs that must
+    participate in the max (the tiled lowering used to hardcode the -128
+    'excluded' fill, silently diverging from the arena/XLA twins at image
+    borders whenever the zero-point exceeds the local values)."""
+    _lower_threshold(monkeypatch)
+    monkeypatch.setenv("YOLOFACE_TPU_TILE_XLA", "none")
+    import yoloface_tpu.kernels.pallas_tiled as pt
+    monkeypatch.setattr(pt, "TILE_THRESHOLD", 10_000)  # tiny graph tiles
+    from yoloface_tpu.graph.ir import GraphDef, OpDef, QParams, TensorDef
+
+    q = QParams((0.05,), (90,))   # zp ABOVE the value range below
+    pads = np.array([[0, 0], [1, 1], [1, 1], [0, 0]], np.int32)
+    tensors = [
+        TensorDef(0, "in", (1, 12, 12, 4), np.dtype(np.int8), q),
+        TensorDef(1, "pads", (4, 2), np.dtype(np.int32), None, pads),
+        TensorDef(2, "padded", (1, 14, 14, 4), np.dtype(np.int8), q),
+        TensorDef(3, "out", (1, 7, 7, 4), np.dtype(np.int8), q),
+    ]
+    ops = [
+        OpDef(0, "PAD", [0, 1], [2], {}),
+        OpDef(1, "MAX_POOL_2D", [2], [3],
+              {"padding": "VALID", "stride_w": 2, "stride_h": 2,
+               "filter_w": 2, "filter_h": 2, "activation": "NONE"}),
+    ]
+    g = GraphDef(tensors, ops, [0], [3])
+    from yoloface_tpu.kernels.pallas_tiled import plan_tiled_split
+    sections, suffix = plan_tiled_split(g)
+    assert sections and not suffix    # the pool MUST run the tiled kernel
+    rng = np.random.default_rng(5)
+    x = rng.integers(-128, 80, (2, 12, 12, 4)).astype(np.int8)
+    ref = np.asarray(Int8Engine(g, mode="fast2")(x))
+    # the border maxes must actually be decided by the pad fill, or the
+    # regression is vacuous
+    assert (ref[:, 0, :, :] == 90).any()
+    out = np.asarray(Int8Engine(g, mode="pallas_tiled2")(x))
+    assert np.array_equal(ref, out)
+
+
 def test_small_graph_falls_back_to_arena():
     g = load_tflite(TFLITE)
     from yoloface_tpu.kernels.pallas_tiled import (build_tiled_plan,

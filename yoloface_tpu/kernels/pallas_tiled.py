@@ -522,7 +522,8 @@ def _gen_dw(sec: _TSec, x_idx, out_idx, c, stride, pads, fill,
     return emit
 
 
-def _gen_maxpool(sec: _TSec, x_idx, out_idx, c, fw, fh, stride, pads):
+def _gen_maxpool(sec: _TSec, x_idx, out_idx, c, fw, fh, stride, pads,
+                 fill):
     (pl_w, _), _hp = pads
     ph0_c = pads[1][0]
     Li, Ri = sec.ext[out_idx]
@@ -533,7 +534,12 @@ def _gen_maxpool(sec: _TSec, x_idx, out_idx, c, fw, fh, stride, pads):
     rw = stride * cw + fw - 1
 
     def emit(tc, opvals):
-        xr, woff, hoff = tc.read(x_idx, Lx, ph0_c, -128)
+        # fill comes from _input_req: -128 for the pool's OWN SAME padding
+        # (excluded from the max, like the reference kernel's valid-region
+        # max) but the PAD output's zero-point when an absorbed explicit
+        # PAD feeds the pool — those padded positions are REAL inputs that
+        # must participate in the max (pallas_arena honors the same fill)
+        xr, woff, hoff = tc.read(x_idx, Lx, ph0_c, fill)
         zero = jnp.zeros((), jnp.int32)
 
         def body(hc_i, _):
@@ -735,19 +741,27 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                             rq, lk)))
 
         elif name == "MAX_POOL_2D":
-            x_idx, pads, _fill = _input_req(graph, op)
+            # fill matters only when padding exists: the pool's own SAME
+            # padding is excluded from the max (-128, from _input_req) but
+            # an absorbed explicit PAD's zero-point cells are REAL inputs
+            # (previously hardcoded -128 — silent divergence vs the arena
+            # twin and the oracle on PAD->POOL imports); NOPAD keeps the
+            # historical -128 so no fill cell is ever above a real value
+            x_idx, pads, fill = _input_req(graph, op)
+            if pads == NOPAD:
+                fill = -128
             fh, fw = op.attrs["filter_h"], op.attrs["filter_w"]
             stride = op.attrs["stride_h"]
             (pl_w, _), (ph0, ph1) = pads
             c = t(x_idx).shape[3]
             consumers.append((out_idx, x_idx, stride, pl_w, fw,
-                              ph0, ph1, -128))
+                              ph0, ph1, fill))
             pending.append((
                 out_idx, [],
                 lambda s_, x_idx=x_idx, out_idx=out_idx, c=c, fw=fw,
-                fh=fh, stride=stride, pads=pads:
+                fh=fh, stride=stride, pads=pads, fill=fill:
                 _gen_maxpool(s_, x_idx, out_idx, c, fw, fh, stride,
-                             pads)))
+                             pads, fill)))
 
         elif name == "ADD":
             a_idx, b_idx = op.inputs
@@ -848,19 +862,34 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
         sec.cwh[i] = (int(s[3]), int(s[2]), int(s[1]))
         sec.ext[i] = (0, 0)
 
+    # W width mismatch: the extent formulas below assume W_in == s * W_out
+    # (true for the production SAME pools/convs).  An absorbed explicit
+    # PAD breaks it (e.g. 12 -pad-> 14 -pool s2-> 7: s*W_out - W_in = 2);
+    # the emit's read window is anchored at s*W_out per strip, so the
+    # right halo must grow by the mismatch — and strips beyond the first
+    # would drift by j*mis/nw, so such plans are pinned to NW=1.  (The H
+    # axis needs no term: ph1 + (s-1) == mis_h + fh - 1 - ph0 whenever
+    # the recorded pads exactly cover the op's input, an identity.)
+    def _mis(out_idx: int, x_idx: int, s: int) -> int:
+        return s * sec.cwh[out_idx][1] - sec.cwh[x_idx][1]
+
+    mis_any = False
     for (out_idx, x_idx, s, pl_w, k_w, _ph0, _ph1, _f) in reversed(
             consumers):
         Lo, Ro = sec.ext[out_idx]
         li, ri = sec.ext[x_idx]
+        mis = _mis(out_idx, x_idx, s)
+        mis_any |= bool(mis)
         sec.ext[x_idx] = (max(li, Lo * s + pl_w),
-                          max(ri, max(0, Ro * s + k_w - 1 - pl_w)))
+                          max(ri, max(0, Ro * s + k_w - 1 - pl_w + mis)))
 
     # views: per fill class; extents/H pads maxed within the class
     for (out_idx, x_idx, s, pl_w, k_w, ph0, ph1, fill) in consumers:
         Lo, Ro = sec.ext[out_idx]
         v = sec.view_of(x_idx, fill)
         v.li = max(v.li, Lo * s + pl_w)
-        v.ri = max(v.ri, max(0, Ro * s + k_w - 1 - pl_w))
+        v.ri = max(v.ri, max(0, Ro * s + k_w - 1 - pl_w
+                             + _mis(out_idx, x_idx, s)))
         v.ph0 = max(v.ph0, ph0)
         v.ph1 = max(v.ph1, ph1 + (s - 1))
     for i in sec.outputs:
@@ -902,16 +931,17 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
             tot += (Li + w // nw + Ri) * 16 * kh * kw_ * c_eff * _TILE_NT
         return tot + _CHUNK_TARGET // 2 <= _VMEM_TARGET
 
+    nw_cap = 1 if mis_any else _NW_CAP   # width mismatch pins NW=1 (above)
     nw = None
     cand = 1
-    while cand <= _NW_CAP:
+    while cand <= nw_cap:
         if fits(cand):
             nw = cand
             break
         cand *= 2
     if nw is None:                     # nothing fits: old largest-NW rule
         nw = 1
-        cand = _NW_CAP
+        cand = nw_cap
         while cand > 1:
             if all(w % cand == 0 and w // cand >= 7 for w in ws_all):
                 nw = cand
