@@ -826,6 +826,39 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                 lambda s_, out_idx=out_idx, x_idx=x_idx, fv=q_val:
                 _gen_eltwise(s_, out_idx, [x_idx], fv)))
 
+        elif name in ("RELU", "RELU6", "LOGISTIC"):
+            # same semantics as the arena lowering (pallas_arena.py:648):
+            # RELU/RELU6 share the input qparams (calibrate.py:287),
+            # LOGISTIC has the fixed 1/256, zp -128 output quant.  int8
+            # compute is lifted to int32 (Mosaic: no int8 vector select)
+            # and stored back as int8 (tiled refs are raw int8).
+            (x_idx,) = op.inputs
+            q = t(x_idx).qparams
+
+            if name == "RELU":
+                def fn_val(v, zp=q.zero_point):
+                    return jnp.maximum(v.astype(jnp.int32),
+                                       zp).astype(jnp.int8)
+            elif name == "RELU6":
+                lo = int(q.zero_point)
+                hi = int(round(6.0 / float(q.scale)) + q.zero_point)
+
+                def fn_val(v, lo=max(lo, -128), hi=min(hi, 127)):
+                    return jnp.clip(v.astype(jnp.int32), lo,
+                                    hi).astype(jnp.int8)
+            else:           # LOGISTIC
+                def fn_val(v, s=float(q.scale), zp=q.zero_point):
+                    x = (v.astype(jnp.float32) - zp) * s
+                    y = 1.0 / (1.0 + jnp.exp(-x))
+                    return jnp.clip(jnp.round(y * 256.0) - 128.0, -128,
+                                    127).astype(jnp.int32).astype(jnp.int8)
+
+            consumers.append((out_idx, x_idx, 1, 0, 1, 0, 0, None))
+            pending.append((
+                out_idx, [],
+                lambda s_, out_idx=out_idx, x_idx=x_idx, fv=fn_val:
+                _gen_eltwise(s_, out_idx, [x_idx], fv)))
+
         elif name == "LEAKY_RELU":    # standalone (multi-consumer input)
             spec = _leaky_spec(graph, op, exact)
             x_idx = op.inputs[0]
