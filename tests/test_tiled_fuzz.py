@@ -150,6 +150,99 @@ def test_tiled_fuzz_exact_bits(seed, monkeypatch):
     np.testing.assert_array_equal(ref, out)
 
 
+def _cfg_graph(cfg_text, seed=11):
+    rng = np.random.default_rng(seed)
+    net = DarknetNet(cfg_text)
+    template, weights = template_from_darknet(net, _random_params(net,
+                                                                  seed=seed))
+    rep = rng.uniform(0, 1, (8, 14, 14, 3)).astype(np.float32)
+    return calibrate_from_weights(weights, rep, template), rng
+
+
+UPSAMPLE_CFG = """[net]
+width=14
+height=14
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+activation=leaky
+
+[upsample]
+stride=2
+
+[convolutional]
+filters=6
+size=1
+stride=1
+activation=linear
+"""
+
+STRIDED_1X1_CFG = """[net]
+width=14
+height=14
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=1
+stride=2
+activation=leaky
+
+[convolutional]
+filters=6
+size=1
+stride=1
+activation=linear
+"""
+
+
+@pytest.mark.parametrize("cfg,routing", [
+    (UPSAMPLE_CFG, "none"),        # suffix on the arena
+    (UPSAMPLE_CFG, "suffix"),      # suffix on the XLA twin
+    (STRIDED_1X1_CFG, "suffix"),   # strided 1x1 only lowers on XLA
+])
+def test_tiled_prefix_cut_at_unsupported_op(cfg, routing, monkeypatch):
+    """Ops outside the tiled surface (RESIZE_NEAREST upsample, strided
+    1x1 conv) must END the tiled prefix at plan time, not crash the
+    lowering: the plan splits into tiled sections + a suffix holding the
+    unsupported op, and the engine stays bit-exact vs the XLA twin."""
+    _tile_everything(monkeypatch)
+    monkeypatch.setenv("YOLOFACE_TPU_TILE_XLA", routing)
+    g, rng = _cfg_graph(cfg)
+    from yoloface_tpu.kernels.pallas_tiled import plan_tiled_split
+    sections, suffix = plan_tiled_split(g)
+    assert sections, "prefix before the unsupported op should tile"
+    assert suffix, "the unsupported op and its tail must land in suffix"
+    bad = {"RESIZE_NEAREST_NEIGHBOR"} | {
+        op.opname for op in suffix
+        if op.opname == "CONV_2D" and op.attrs.get("stride_h", 1) != 1}
+    assert any(op.opname in bad for op in suffix)
+    x = rng.integers(-128, 128, (2, 14, 14, 3),
+                     dtype=np.int64).astype(np.int8)
+    ref = np.asarray(Int8Engine(g, mode="fast2")(x))
+    out = np.asarray(Int8Engine(g, mode="pallas_tiled2")(x))
+    np.testing.assert_array_equal(ref, out)
+
+
 def test_tiled_eltwise_activation_ops(monkeypatch):
     """RELU / RELU6 / LOGISTIC as standalone tiled eltwise ops (the arena
     semantics, pallas_arena.py:648): a hand-built graph chains all three

@@ -127,14 +127,38 @@ def _absorption(graph: GraphDef):
     return owner, uses
 
 
+_TILED_OPS = frozenset((
+    "CONV_2D", "DEPTHWISE_CONV_2D", "MAX_POOL_2D", "ADD", "QUANTIZE",
+    "RELU", "RELU6", "LOGISTIC", "LEAKY_RELU", "CONCATENATION"))
+
+
+def _group_lowerable(graph: GraphDef, main) -> bool:
+    """Whether _lower_section knows this absorption group's main op.
+    Ops outside the tiled surface (e.g. RESIZE_NEAREST in an FPN graph,
+    or a strided 1x1 conv — the 1x1 lowering is stride-1-only) end the
+    tiled prefix at plan time so the suffix (arena, or the XLA twin
+    under the hybrid routing) runs them, instead of _lower_section
+    failing on a graph the other engine modes handle fine."""
+    if main.opname not in _TILED_OPS:
+        return False
+    if main.opname == "CONV_2D":
+        wd = graph.tensor(main.inputs[1]).data
+        if (wd.shape[1] == wd.shape[2] == 1
+                and main.attrs.get("stride_h", 1) != 1):
+            return False
+    return True
+
+
 def plan_tiled_split(graph: GraphDef):
     """-> (sections: List[List[op]], suffix_ops: List[op]).
 
     Absorption groups (main op + its PAD/LEAKY) are 'tiled' while any
     touched activation plane exceeds TILE_THRESHOLD at the NT lane tile.
-    Within the tiled prefix, a new section starts at a spatial-scale
-    change or at a stride-2 op (transition), except that consecutive
-    strided ops sharing one input tensor stay together (pool + dw pairs).
+    The prefix ends early at the first op the section lowering does not
+    support (_group_lowerable).  Within the tiled prefix, a new section
+    starts at a spatial-scale change or at a stride-2 op (transition),
+    except that consecutive strided ops sharing one input tensor stay
+    together (pool + dw pairs).
     """
     owner, _ = _absorption(graph)
     t = graph.tensor
@@ -162,6 +186,10 @@ def plan_tiled_split(graph: GraphDef):
     # neighbours rather than punching holes in the prefix
     big = [group_tiled(m) for m in mains]
     last_big = max([k for k, b in enumerate(big) if b], default=-1)
+    for k, m in enumerate(mains[:last_big + 1]):
+        if not _group_lowerable(graph, m):
+            last_big = k - 1
+            break
 
     sections: List[List] = []
     suffix: List = []
