@@ -49,9 +49,10 @@ def _random_params(net: DarknetNet, seed=0):
 
 
 def _random_tiled_cfg(rng):
-    """A random darknet net restricted to ops the tiled lowering supports
-    (no upsample: RESIZE_NEAREST stays an arena/XLA op).  14x14 input so
-    stride-2 chains land on odd sizes and SAME pools get real padding."""
+    """A random darknet net over the tiled surface plus the occasional
+    upsample (RESIZE_NEAREST_NEIGHBOR ends the tiled prefix at plan time;
+    the tail runs in the suffix).  14x14 input so stride-2 chains land on
+    odd sizes and SAME pools get real padding."""
     lines = ["[net]", "width=14", "height=14", "channels=3", ""]
     chans, sizes = [], []
     cur_c, cur_s = 3, 14
@@ -59,6 +60,8 @@ def _random_tiled_cfg(rng):
         kinds = ["conv", "conv", "dw"]
         if cur_s >= 4:
             kinds += ["maxpool", "sconv", "sdw"]
+        if cur_s <= 7:
+            kinds.append("upsample")
         same_sized = [j for j in range(len(chans)) if sizes[j] == cur_s]
         if same_sized:
             kinds.append("route")
@@ -88,6 +91,9 @@ def _random_tiled_cfg(rng):
         elif kind == "maxpool":
             lines += ["[maxpool]", "size=2", "stride=2", ""]
             cur_s = -(-cur_s // 2)                 # SAME: ceil
+        elif kind == "upsample":
+            lines += ["[upsample]", "stride=2", ""]
+            cur_s *= 2
         elif kind == "route":
             j = int(rng.choice(same_sized))
             lines += ["[route]", f"layers=-1,{j - len(chans)}", ""]
@@ -130,7 +136,10 @@ def test_tiled_fuzz_fast_bits(seed, monkeypatch):
     g, rng = _int8_graph(seed)
     from yoloface_tpu.kernels.pallas_tiled import plan_tiled_split
     sections, suffix = plan_tiled_split(g)
-    assert sections and not suffix        # the whole net runs tiled
+    if any(op.opname == "RESIZE_NEAREST_NEIGHBOR" for op in g.ops):
+        assert suffix                     # upsample ends the tiled prefix
+    else:
+        assert sections and not suffix    # the whole net runs tiled
     x = rng.integers(-128, 128, (2, 14, 14, 3),
                      dtype=np.int64).astype(np.int8)
     ref = np.asarray(Int8Engine(g, mode="fast2")(x))
