@@ -46,3 +46,21 @@ def test_arena_fuzz_exact_bits(seed):
     ref = np.asarray(Int8Engine(g, mode="exact")(x))
     out = np.asarray(Int8Engine(g, mode="pallas_mxu_exact")(x))
     np.testing.assert_array_equal(ref, out)
+
+
+@pytest.mark.parametrize("seed", [2,
+                                  pytest.param(0, marks=pytest.mark.slow),
+                                  pytest.param(4, marks=pytest.mark.slow)])
+def test_perop_fused_fuzz(seed):
+    """The per-op (pallas[_exact]) and fused (pallas_fused[_exact]) modes
+    on the same random graphs — full eltwise/RESIZE op-surface coverage
+    (seed 2 samples an upsample in the default run)."""
+    g, rng = _int8_graph(seed)
+    x = rng.integers(-128, 128, (2, 14, 14, 3),
+                     dtype=np.int64).astype(np.int8)
+    for mode, twin in (("pallas", "fast"), ("pallas_exact", "exact"),
+                       ("pallas_fused", "fast"),
+                       ("pallas_fused_exact", "exact")):
+        ref = np.asarray(Int8Engine(g, mode=twin)(x))
+        out = np.asarray(Int8Engine(g, mode=mode)(x))
+        np.testing.assert_array_equal(ref, out)

@@ -252,10 +252,18 @@ def test_tiled_prefix_cut_at_unsupported_op(cfg, routing, monkeypatch):
     np.testing.assert_array_equal(ref, out)
 
 
-def test_tiled_eltwise_activation_ops(monkeypatch):
-    """RELU / RELU6 / LOGISTIC as standalone tiled eltwise ops (the arena
-    semantics, pallas_arena.py:648): a hand-built graph chains all three
-    plus a QUANTIZE; tiled2 must match the fast2 twin bit-for-bit."""
+@pytest.mark.parametrize("mode,twin", [
+    ("pallas_tiled2", "fast2"),
+    ("pallas", "fast"),
+    ("pallas_exact", "exact"),
+    ("pallas_fused", "fast"),
+    ("pallas_fused_exact", "exact"),
+])
+def test_eltwise_activation_ops(mode, twin, monkeypatch):
+    """RELU / RELU6 / LOGISTIC as standalone eltwise ops (shared
+    activation math, pallas_int8.activation_int32): a hand-built graph
+    chains all three plus a QUANTIZE; every Pallas lowering must match
+    its XLA twin bit-for-bit."""
     _tile_everything(monkeypatch)
     from yoloface_tpu.graph.ir import GraphDef, OpDef, QParams, TensorDef
     q_in = QParams((0.043,), (-7,))
@@ -278,7 +286,7 @@ def test_tiled_eltwise_activation_ops(monkeypatch):
     rng = np.random.default_rng(7)
     x = rng.integers(-128, 128, (2, 10, 10, 5),
                      dtype=np.int64).astype(np.int8)
-    ref = np.asarray(Int8Engine(g, mode="fast2")(x))
+    ref = np.asarray(Int8Engine(g, mode=twin)(x))
     assert (ref != x.reshape(ref.shape)).any()    # chain actually acts
-    out = np.asarray(Int8Engine(g, mode="pallas_tiled2")(x))
+    out = np.asarray(Int8Engine(g, mode=mode)(x))
     np.testing.assert_array_equal(ref, out)

@@ -58,6 +58,7 @@ from yoloface_tpu.core.fixedpoint import (
     multiply_by_quantized_multiplier,
     multiply_by_quantized_multiplier_bounded, quantize_multiplier)
 from yoloface_tpu.graph.ir import GraphDef
+from yoloface_tpu.kernels import pallas_int8 as pk
 from yoloface_tpu.kernels.pallas_int8 import (_interpret_mode,
                                               set_conv_bounds as _set_conv_bounds,
                                               apply_requant_leaky)
@@ -647,23 +648,7 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
 
         elif name in ("RELU", "RELU6", "LOGISTIC"):
             (x_idx,) = op.inputs
-            q = t(x_idx).qparams
-
-            if name == "RELU":
-                def fn_val(v, zp=q.zero_point):
-                    return jnp.maximum(v.astype(jnp.int32), zp)
-            elif name == "RELU6":
-                lo = int(q.zero_point)
-                hi = int(round(6.0 / float(q.scale)) + q.zero_point)
-
-                def fn_val(v, lo=max(lo, -128), hi=min(hi, 127)):
-                    return jnp.clip(v.astype(jnp.int32), lo, hi)
-            else:           # LOGISTIC: fixed out quant 1/256, zp -128
-                def fn_val(v, s=float(q.scale), zp=q.zero_point):
-                    x = (v.astype(jnp.float32) - zp) * s
-                    y = 1.0 / (1.0 + jnp.exp(-x))
-                    return jnp.clip(jnp.round(y * 256.0) - 128.0,
-                                    -128, 127).astype(jnp.int32)
+            fn_val = pk.activation_int32(name, t(x_idx).qparams)
 
             def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx,
                      fn_val=fn_val, ow=ow, oh=oh):

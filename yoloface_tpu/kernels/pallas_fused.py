@@ -335,6 +335,25 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
 
             out.append(FusedOp(out_idx, [x_idx], [], emit, _nbytes(out_t)))
 
+        elif name in ("RELU", "RELU6", "LOGISTIC"):
+            (x_idx,) = op.inputs
+            fn_val = pk.activation_int32(name, t(x_idx).qparams)
+
+            def emit(env, opvals, x_idx=x_idx, fn_val=fn_val):
+                return fn_val(env[x_idx]).astype(jnp.int8)
+
+            out.append(FusedOp(out_idx, [x_idx], [], emit, _nbytes(out_t)))
+
+        elif name == "RESIZE_NEAREST_NEIGHBOR":
+            x_idx = op.inputs[0]
+            factors = pk.resize_factors(t, op)   # (f_w, f_h) = dims 1, 2
+
+            def emit(env, opvals, x_idx=x_idx, factors=factors):
+                return jnp.repeat(jnp.repeat(env[x_idx], factors[0],
+                                             axis=1), factors[1], axis=2)
+
+            out.append(FusedOp(out_idx, [x_idx], [], emit, _nbytes(out_t)))
+
         elif name == "MAX_POOL_2D":
             (x_idx,) = op.inputs
             fh, fw = op.attrs["filter_h"], op.attrs["filter_w"]

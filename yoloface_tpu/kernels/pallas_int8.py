@@ -889,6 +889,104 @@ def concat_channels(a, b, nt: Optional[int] = None):
     )(a, b)
 
 
+def activation_int32(name: str, q):
+    """RELU / RELU6 / LOGISTIC on a pre-widened int32 (or int8) VALUES
+    array -> int32 in [-128, 127]; `q` is the INPUT tensor's qparams.
+    RELU/RELU6 are requant-free (output shares the input quant);
+    LOGISTIC has the fixed 1/256-scale, zp -128 output quant.  Mosaic
+    has no int8 vector select, so compute lifts to int32 (f32 for
+    LOGISTIC).  Shared by the per-op, fused, arena and tiled lowerings.
+    Reference semantics: the per-layer nl_func activation of the
+    generated runtime (stm32/X-CUBE-AI/App/network.c:2920-2921)."""
+    if name == "RELU":
+        def fn_val(v, zp=q.zero_point):
+            return jnp.maximum(v.astype(jnp.int32), zp)
+    elif name == "RELU6":
+        lo = int(q.zero_point)
+        hi = int(round(6.0 / float(q.scale)) + q.zero_point)
+
+        def fn_val(v, lo=max(lo, -128), hi=min(hi, 127)):
+            return jnp.clip(v.astype(jnp.int32), lo, hi)
+    elif name == "LOGISTIC":
+        def fn_val(v, s=float(q.scale), zp=q.zero_point):
+            x = (v.astype(jnp.float32) - zp) * s
+            y = 1.0 / (1.0 + jnp.exp(-x))
+            return jnp.clip(jnp.round(y * 256.0) - 128.0,
+                            -128, 127).astype(jnp.int32)
+    else:
+        raise NotImplementedError(f"activation {name}")
+    return fn_val
+
+
+def eltwise_int8(x, fn_val, nt: Optional[int] = None):
+    """Generic elementwise int8 -> int8 op (RELU/RELU6/LOGISTIC):
+    fn_val maps the loaded values to int32 in [-128, 127]."""
+    c, h, w, n = x.shape
+    nt = _pick_nt(n, nt)
+
+    def kernel(xr, o):
+        o[:] = fn_val(xr[:]).astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nt,),
+        in_specs=[pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, h, w, n), jnp.int8),
+        interpret=_interpret_mode(),
+    )(x)
+
+
+def resize_factors(graph_t, op):
+    """Guarded integer replication factors for RESIZE_NEAREST_NEIGHBOR
+    (same contract as engine._lower_op and the arena lowering: the quant
+    params must pass through unchanged, only the default sampling
+    convention, integer upscale only).  Returns (f_w, f_h) ordered for
+    the [C, W, H, N] value layouts of the per-op/fused plans."""
+    x_idx, out_idx = op.inputs[0], op.outputs[0]
+    in_q, out_q = graph_t(x_idx).qparams, graph_t(out_idx).qparams
+    if (in_q.scale != out_q.scale
+            or in_q.zero_point != out_q.zero_point):
+        raise NotImplementedError(
+            "RESIZE_NEAREST_NEIGHBOR with requantization")
+    if op.attrs.get("align_corners") or op.attrs.get(
+            "half_pixel_centers"):
+        raise NotImplementedError(
+            "RESIZE_NEAREST_NEIGHBOR align_corners/half_pixel")
+    in_h, in_w = graph_t(x_idx).shape[1], graph_t(x_idx).shape[2]
+    out_h, out_w = graph_t(out_idx).shape[1], graph_t(out_idx).shape[2]
+    if out_h % in_h or out_w % in_w:
+        raise NotImplementedError(
+            f"resize: non-integer scale {in_h}x{in_w} -> {out_h}x{out_w}")
+    return out_w // in_w, out_h // in_h
+
+
+def resize_nearest(x, factors, nt: Optional[int] = None):
+    """RESIZE_NEAREST_NEIGHBOR as pixel replication on the two plain
+    spatial dims of [C, d1, d2, N] (quant passes through; callers guard
+    via resize_factors)."""
+    c, d1, d2, n = x.shape
+    f1, f2 = factors
+    nt = _pick_nt(n, nt)
+
+    def kernel(xr, o):
+        o[:] = jnp.repeat(jnp.repeat(xr[:], f1, axis=1), f2, axis=2)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nt,),
+        in_specs=[pl.BlockSpec((c, d1, d2, nt), lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((c, d1 * f1, d2 * f2, nt),
+                               lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, d1 * f1, d2 * f2, n), jnp.int8),
+        interpret=_interpret_mode(),
+    )(x)
+
+
 def leaky_int8(x, leaky: "LeakySpec", nt: Optional[int] = None):
     """Standalone LEAKY_RELU (conv output with multiple consumers)."""
     c, h, w, n = x.shape

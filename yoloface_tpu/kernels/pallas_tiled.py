@@ -55,6 +55,7 @@ from yoloface_tpu.core.fixedpoint import (
 from yoloface_tpu.graph.ir import GraphDef
 from yoloface_tpu.kernels.pallas_arena import (NT, _input_req,
                                                build_arena_plan)
+from yoloface_tpu.kernels import pallas_int8 as pk
 from yoloface_tpu.kernels.pallas_int8 import (_interpret_mode,
                                               set_conv_bounds as _set_conv_bounds,
                                               apply_requant_leaky,
@@ -855,31 +856,13 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                 _gen_eltwise(s_, out_idx, [x_idx], fv)))
 
         elif name in ("RELU", "RELU6", "LOGISTIC"):
-            # same semantics as the arena lowering (pallas_arena.py:648):
-            # RELU/RELU6 share the input qparams (calibrate.py:287),
-            # LOGISTIC has the fixed 1/256, zp -128 output quant.  int8
-            # compute is lifted to int32 (Mosaic: no int8 vector select)
-            # and stored back as int8 (tiled refs are raw int8).
+            # shared activation math (pk.activation_int32); the tiled
+            # refs are raw int8, so the int32 result stores back as int8
             (x_idx,) = op.inputs
-            q = t(x_idx).qparams
+            act = pk.activation_int32(name, t(x_idx).qparams)
 
-            if name == "RELU":
-                def fn_val(v, zp=q.zero_point):
-                    return jnp.maximum(v.astype(jnp.int32),
-                                       zp).astype(jnp.int8)
-            elif name == "RELU6":
-                lo = int(q.zero_point)
-                hi = int(round(6.0 / float(q.scale)) + q.zero_point)
-
-                def fn_val(v, lo=max(lo, -128), hi=min(hi, 127)):
-                    return jnp.clip(v.astype(jnp.int32), lo,
-                                    hi).astype(jnp.int8)
-            else:           # LOGISTIC
-                def fn_val(v, s=float(q.scale), zp=q.zero_point):
-                    x = (v.astype(jnp.float32) - zp) * s
-                    y = 1.0 / (1.0 + jnp.exp(-x))
-                    return jnp.clip(jnp.round(y * 256.0) - 128.0, -128,
-                                    127).astype(jnp.int32).astype(jnp.int8)
+            def fn_val(v, act=act):
+                return act(v).astype(jnp.int8)
 
             consumers.append((out_idx, x_idx, 1, 0, 1, 0, 0, None))
             pending.append((

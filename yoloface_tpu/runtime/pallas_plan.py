@@ -243,6 +243,20 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
             def fn(env, x_idx=x_idx, spec=spec):
                 return pk.requantize_int8(env[x_idx], spec)
 
+        elif name in ("RELU", "RELU6", "LOGISTIC"):
+            (x_idx,) = op.inputs
+            fn_val = pk.activation_int32(name, t(x_idx).qparams)
+
+            def fn(env, x_idx=x_idx, fn_val=fn_val):
+                return pk.eltwise_int8(env[x_idx], fn_val)
+
+        elif name == "RESIZE_NEAREST_NEIGHBOR":
+            x_idx = op.inputs[0]
+            factors = pk.resize_factors(t, op)   # (f_w, f_h) = dims 1, 2
+
+            def fn(env, x_idx=x_idx, factors=factors):
+                return pk.resize_nearest(env[x_idx], factors)
+
         elif name == "CONCATENATION":
             idxs = list(op.inputs)
             assert op.attrs["axis"] == 3  # NHWC channel -> CHWN dim 0
