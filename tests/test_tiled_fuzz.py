@@ -57,7 +57,7 @@ def _random_tiled_cfg(rng):
     chans, sizes = [], []
     cur_c, cur_s = 3, 14
     for _ in range(int(rng.integers(4, 9))):
-        kinds = ["conv", "conv", "dw"]
+        kinds = ["conv", "conv", "dw", "maxpool1"]
         if cur_s >= 4:
             kinds += ["maxpool", "sconv", "sdw"]
         if cur_s <= 7:
@@ -91,6 +91,8 @@ def _random_tiled_cfg(rng):
         elif kind == "maxpool":
             lines += ["[maxpool]", "size=2", "stride=2", ""]
             cur_s = -(-cur_s // 2)                 # SAME: ceil
+        elif kind == "maxpool1":                   # v3-tiny tail style
+            lines += ["[maxpool]", "size=2", "stride=1", ""]
         elif kind == "upsample":
             lines += ["[upsample]", "stride=2", ""]
             cur_s *= 2
