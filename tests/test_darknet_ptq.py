@@ -212,6 +212,32 @@ def test_v3tiny_all_mode_twins(v3tiny_int8):
             np.testing.assert_array_equal(g_, w_)
 
 
+@pytest.mark.slow
+def test_v3tiny_perop_fused_tiled_twins(v3tiny_int8, monkeypatch):
+    """The per-op, fused AND tiled mode families on the two-headed FPN
+    graph (1-input route pass-through, RESIZE/eltwise op widening, tiled
+    prefix-cut at the upsample): every family bit-exact vs its XLA twin
+    on both heads.  Tiled knobs force real tiling of the 32px planes."""
+    monkeypatch.setenv("YOLOFACE_TPU_TILE_XLA", "none")
+    import yoloface_tpu.kernels.pallas_tiled as pt
+    monkeypatch.setattr(pt, "TILE_THRESHOLD", 0)
+    monkeypatch.setattr(pt, "_NW_CAP", 2)
+    monkeypatch.setattr(pt, "_VMEM_TARGET", 1)
+    monkeypatch.setattr(pt, "_CHUNK_TARGET", 1 << 20)
+    x = np.random.default_rng(11).integers(
+        -128, 128, (2, 32, 32, 3), dtype=np.int64).astype(np.int8)
+    ref = {m: [np.asarray(o) for o in Int8Engine(v3tiny_int8, mode=m)(x)]
+           for m in ("fast", "fast2", "exact")}
+    for mode, twin in (("pallas", "fast"), ("pallas_exact", "exact"),
+                       ("pallas_fused", "fast"),
+                       ("pallas_fused_exact", "exact"),
+                       ("pallas_tiled2", "fast2"),
+                       ("pallas_tiled_exact", "exact")):
+        got = [np.asarray(o) for o in Int8Engine(v3tiny_int8, mode=mode)(x)]
+        for g_, w_ in zip(got, ref[twin]):
+            np.testing.assert_array_equal(g_, w_)
+
+
 def _random_cfg(rng):
     """A random small darknet net: conv/dw/maxpool/route/shortcut/upsample
     with legal shapes, ending in a linear head."""

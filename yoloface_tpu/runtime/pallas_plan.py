@@ -260,10 +260,15 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
         elif name == "CONCATENATION":
             idxs = list(op.inputs)
             assert op.attrs["axis"] == 3  # NHWC channel -> CHWN dim 0
-            assert len(idxs) == 2
 
             def fn(env, idxs=idxs):
-                return pk.concat_channels(env[idxs[0]], env[idxs[1]])
+                # N-ary via pairwise folds (1-input routes pass through;
+                # >2-input concats cost one extra HBM round-trip per
+                # operand — this mode is the per-op ablation baseline)
+                v = env[idxs[0]]
+                for i in idxs[1:]:
+                    v = pk.concat_channels(v, env[i])
+                return v
 
         else:
             raise NotImplementedError(f"pallas plan: op {name}")
