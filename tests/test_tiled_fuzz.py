@@ -225,17 +225,65 @@ stride=1
 activation=linear
 """
 
+DW5_CFG = """[net]
+width=14
+height=14
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=5
+stride=1
+groups=8
+activation=leaky
+
+[convolutional]
+filters=6
+size=1
+stride=1
+activation=linear
+"""
+
+
+def _has_cut_op(g, suffix):
+    """The suffix holds the op that ended the tiled prefix."""
+    for op in suffix:
+        if op.opname == "RESIZE_NEAREST_NEIGHBOR":
+            return True
+        if op.opname == "CONV_2D":
+            wd = g.tensor(op.inputs[1]).data
+            if (wd.shape[1] == wd.shape[2] == 1
+                    and op.attrs.get("stride_h", 1) != 1):
+                return True
+        if op.opname == "DEPTHWISE_CONV_2D":
+            wd = g.tensor(op.inputs[1]).data
+            if wd.shape[1] != 3:
+                return True
+    return False
+
 
 @pytest.mark.parametrize("cfg,routing", [
     (UPSAMPLE_CFG, "none"),        # suffix on the arena
     (UPSAMPLE_CFG, "suffix"),      # suffix on the XLA twin
-    (STRIDED_1X1_CFG, "suffix"),   # strided 1x1 only lowers on XLA
+    (STRIDED_1X1_CFG, "suffix"),   # strided 1x1 only lowers on XLA...
+    (STRIDED_1X1_CFG, "none"),     # ...so pure-tiled auto-forces XLA
+    (DW5_CFG, "none"),             # 5x5 dw: same auto-forcing
 ])
 def test_tiled_prefix_cut_at_unsupported_op(cfg, routing, monkeypatch):
     """Ops outside the tiled surface (RESIZE_NEAREST upsample, strided
-    1x1 conv) must END the tiled prefix at plan time, not crash the
-    lowering: the plan splits into tiled sections + a suffix holding the
-    unsupported op, and the engine stays bit-exact vs the XLA twin."""
+    1x1 conv, non-3x3 depthwise) must END the tiled prefix at plan time,
+    not crash the lowering: the plan splits into tiled sections + a
+    suffix holding the unsupported op (forced onto the XLA twin when the
+    arena can't run it either), and the engine stays bit-exact vs the
+    XLA twin."""
     _tile_everything(monkeypatch)
     monkeypatch.setenv("YOLOFACE_TPU_TILE_XLA", routing)
     g, rng = _cfg_graph(cfg)
@@ -243,10 +291,7 @@ def test_tiled_prefix_cut_at_unsupported_op(cfg, routing, monkeypatch):
     sections, suffix = plan_tiled_split(g)
     assert sections, "prefix before the unsupported op should tile"
     assert suffix, "the unsupported op and its tail must land in suffix"
-    bad = {"RESIZE_NEAREST_NEIGHBOR"} | {
-        op.opname for op in suffix
-        if op.opname == "CONV_2D" and op.attrs.get("stride_h", 1) != 1}
-    assert any(op.opname in bad for op in suffix)
+    assert _has_cut_op(g, suffix)
     x = rng.integers(-128, 128, (2, 14, 14, 3),
                      dtype=np.int64).astype(np.int8)
     ref = np.asarray(Int8Engine(g, mode="fast2")(x))

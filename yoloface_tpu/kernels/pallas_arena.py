@@ -329,13 +329,14 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
             wd = w.data
 
             if name == "CONV_2D" and wd.shape[1] == wd.shape[2] == 1:
-                if stride != 1:
+                if stride != 1 or op.attrs.get("stride_w", 1) != 1:
                     # both arena 1x1 emits slice the input at output
-                    # coordinates (stride-1 assumption); fail loudly on
-                    # strided 1x1 convs instead of lowering silently
-                    # wrong (ADVICE r3)
+                    # coordinates (stride-1 assumption on BOTH axes);
+                    # fail loudly on strided 1x1 convs instead of
+                    # lowering silently wrong (ADVICE r3)
                     raise NotImplementedError(
-                        f"arena 1x1 conv with stride {stride} (op "
+                        f"arena 1x1 conv with stride "
+                        f"({stride},{op.attrs.get('stride_w', 1)}) (op "
                         f"{op.index}); only stride 1 is lowered")
                 co, ci = wd.shape[0], wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
@@ -500,6 +501,10 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
                     [taps, bias_eff, *requant.operand_arrays()], emit))
 
             else:                       # depthwise 3x3
+                if not (wd.shape[1] == wd.shape[2] == 3):
+                    raise NotImplementedError(
+                        f"arena depthwise taps are 3x3-only, got "
+                        f"{wd.shape[1]}x{wd.shape[2]} (op {op.index})")
                 c = wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
@@ -747,20 +752,10 @@ def lower_arena_ops(graph: GraphDef, exact: bool, layout: str,
 
         elif name == "RESIZE_NEAREST_NEIGHBOR":
             x_idx = op.inputs[0]
-            # same guards as engine._lower_op: replication is only valid
-            # when no requantization happens and no alternate sampling
-            # convention is flagged (ADVICE r2 #3)
-            in_q, out_q = t(x_idx).qparams, t(out_idx).qparams
-            if (in_q.scale != out_q.scale
-                    or in_q.zero_point != out_q.zero_point):
-                raise NotImplementedError(
-                    "RESIZE_NEAREST_NEIGHBOR with requantization")
-            if op.attrs.get("align_corners") or op.attrs.get(
-                    "half_pixel_centers"):
-                raise NotImplementedError(
-                    "RESIZE_NEAREST_NEIGHBOR align_corners/half_pixel")
+            # shared guards (replication only without requant, default
+            # sampling convention, integer upscale — ADVICE r2 #3)
+            fw, fh = pk.resize_factors(t, op)
             ih, iw = t(x_idx).shape[1], t(x_idx).shape[2]
-            fh, fw = oh // ih, ow // iw
 
             def emit(ctx, opvals, x_idx=x_idx, out_idx=out_idx, fw=fw,
                      fh=fh, iw=iw, ih=ih):

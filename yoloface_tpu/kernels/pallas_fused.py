@@ -287,6 +287,10 @@ def lower_fused_ops(graph: GraphDef, exact: bool) -> List[FusedOp]:
                                        [taps, bias_eff, *requant.operand_arrays()], emit, _nbytes(out_t)))
             else:
                 wd = w.data
+                if not (wd.shape[1] == wd.shape[2] == 3):
+                    raise NotImplementedError(
+                        f"fused depthwise taps are 3x3-only, got "
+                        f"{wd.shape[1]}x{wd.shape[2]} (op {op.index})")
                 c = wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))

@@ -989,19 +989,4 @@ def resize_nearest(x, factors, nt: Optional[int] = None):
 
 def leaky_int8(x, leaky: "LeakySpec", nt: Optional[int] = None):
     """Standalone LEAKY_RELU (conv output with multiple consumers)."""
-    c, h, w, n = x.shape
-    nt = _pick_nt(n, nt)
-
-    def kernel(xr, o):
-        o[:] = leaky.apply(xr[:])
-
-    return pl.pallas_call(
-        kernel,
-        grid=(n // nt,),
-        in_specs=[pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((c, h, w, nt), lambda i: (0, 0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, h, w, n), jnp.int8),
-        interpret=_interpret_mode(),
-    )(x)
+    return eltwise_int8(x, leaky.apply, nt)

@@ -136,17 +136,43 @@ _TILED_OPS = frozenset((
 def _group_lowerable(graph: GraphDef, main) -> bool:
     """Whether _lower_section knows this absorption group's main op.
     Ops outside the tiled surface (e.g. RESIZE_NEAREST in an FPN graph,
-    or a strided 1x1 conv — the 1x1 lowering is stride-1-only) end the
-    tiled prefix at plan time so the suffix (arena, or the XLA twin
-    under the hybrid routing) runs them, instead of _lower_section
+    a strided 1x1 conv — the 1x1 lowering is stride-1-only — or a non-3x3
+    depthwise) end the tiled prefix at plan time so the suffix (arena, or
+    the XLA twin — build_tiled_plan forces the XLA twin when the arena
+    can't run the suffix either) handles them, instead of _lower_section
     failing on a graph the other engine modes handle fine."""
     if main.opname not in _TILED_OPS:
         return False
     if main.opname == "CONV_2D":
         wd = graph.tensor(main.inputs[1]).data
         if (wd.shape[1] == wd.shape[2] == 1
-                and main.attrs.get("stride_h", 1) != 1):
+                and (main.attrs.get("stride_h", 1) != 1
+                     or main.attrs.get("stride_w", 1) != 1)):
             return False
+    elif main.opname == "DEPTHWISE_CONV_2D":
+        wd = graph.tensor(main.inputs[1]).data
+        if not (wd.shape[1] == wd.shape[2] == 3):  # dw taps are 3x3-only
+            return False
+    return True
+
+
+def _arena_can_run(graph: GraphDef, ops: List) -> bool:
+    """Whether the arena suffix lowering handles every op: the arena
+    shares the tiled path's stride-1-only 1x1 and 3x3-only depthwise
+    constraints (pallas_arena.py); when it can't, build_tiled_plan
+    forces the suffix onto the XLA twin so pure-tiled routing still
+    executes any graph the XLA modes handle."""
+    for op in ops:
+        if op.opname == "CONV_2D":
+            wd = graph.tensor(op.inputs[1]).data
+            if (wd.shape[1] == wd.shape[2] == 1
+                    and (op.attrs.get("stride_h", 1) != 1
+                         or op.attrs.get("stride_w", 1) != 1)):
+                return False
+        elif op.opname == "DEPTHWISE_CONV_2D":
+            wd = graph.tensor(op.inputs[1]).data
+            if not (wd.shape[1] == wd.shape[2] == 3):
+                return False
     return True
 
 
@@ -691,13 +717,14 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
             (pl_w, _), (ph0, ph1) = pads
 
             if name == "CONV_2D" and wd.shape[1] == wd.shape[2] == 1:
-                if stride != 1:
-                    # the 1x1 lowering assumes stride 1 (its consumer
-                    # record hardcodes s=1); strided 1x1 convs are legal
-                    # in darknet cfgs — fail loudly instead of lowering
-                    # silently wrong (ADVICE r3)
+                if stride != 1 or op.attrs.get("stride_w", 1) != 1:
+                    # the 1x1 lowering assumes stride 1 on BOTH axes (its
+                    # consumer record hardcodes s=1); strided 1x1 convs
+                    # are legal in darknet cfgs — fail loudly instead of
+                    # lowering silently wrong (ADVICE r3)
                     raise NotImplementedError(
-                        f"tiled 1x1 conv with stride {stride} (op "
+                        f"tiled 1x1 conv with stride "
+                        f"({stride},{op.attrs.get('stride_w', 1)}) (op "
                         f"{op.index}); only stride 1 is lowered")
                 co, ci = wd.shape[0], wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
@@ -750,6 +777,10 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                                                             operands=o)))
 
             else:                     # depthwise 3x3
+                if not (wd.shape[1] == wd.shape[2] == 3):
+                    raise NotImplementedError(
+                        f"tiled depthwise taps are 3x3-only, got "
+                        f"{wd.shape[1]}x{wd.shape[2]} (op {op.index})")
                 c = wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
@@ -1216,6 +1247,12 @@ def build_tiled_plan(graph: GraphDef, exact: bool,
     elif raw == "none":
         raw = ""
     xla_secs = set(raw.split(","))
+    if suffix and "suffix" not in xla_secs \
+            and not _arena_can_run(graph, suffix):
+        # the arena can't run this suffix either (strided 1x1 / non-3x3
+        # depthwise cut out of the prefix): force the XLA twin so the
+        # graph still executes under pure-tiled routing
+        xla_secs.add("suffix")
 
     plan: List[Callable] = []
     all_groups = sections + ([suffix] if suffix else [])

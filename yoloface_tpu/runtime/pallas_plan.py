@@ -155,6 +155,10 @@ def build_pallas_plan(graph: GraphDef, exact: bool) -> List[Callable]:
                                           leaky=leaky)
             else:  # DEPTHWISE_CONV_2D
                 wd = w.data  # [1, Kh, Kw, C]
+                if not (wd.shape[1] == wd.shape[2] == 3):
+                    raise NotImplementedError(
+                        f"pallas depthwise taps are 3x3-only, got "
+                        f"{wd.shape[1]}x{wd.shape[2]} (op {op.index})")
                 c = wd.shape[3]
                 bias_eff = (b.data.astype(np.int64)
                             - zp_in * wd.astype(np.int64).sum((0, 1, 2))
