@@ -162,3 +162,41 @@ def test_camera_streamer_end_to_end(int8_graph):
     frames = [f for t in texts for f in parser.feed(t)]
     assert len(frames) == 16
     assert sum(f.total for f in frames) == stats["faces"]
+
+
+def test_gui_geometry_pure_functions():
+    """host/gui.py widget-free core: chart polyline scaling and the
+    112->canvas box mapping (the GUI twin of main.py:448-472/474-552
+    must not drift from the display-space convention)."""
+    from yoloface_tpu.host.gui import DISPLAY, box_px, chart_points
+
+    assert DISPLAY == 112
+    # box scaling: full display box -> full canvas box
+    f = protocol.Face(1, 0, 0, 112, 112, 0.9)
+    assert box_px(f, 336) == (0, 0, 336, 336)
+    f = protocol.Face(2, 28, 56, 84, 112, 0.5)
+    assert box_px(f, 336) == (84, 168, 252, 336)
+
+    # chart: empty -> no points; monotone history maps into the padded
+    # box with y flipped (tk origin top-left: bigger value = smaller y)
+    assert chart_points([], 100, 50) == []
+    pts = chart_points([0, 1, 2, 4], 100, 50, pad=8)
+    assert len(pts) == 4
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    assert xs == sorted(xs) and xs[0] == 8 and xs[-1] == 92
+    assert ys[0] == 42 and ys[-1] == 8          # 0 -> bottom, max -> top
+    assert all(ys[i] > ys[i + 1] for i in range(3))
+
+
+def test_gui_headless_fallback(capsys):
+    """--gui on a display-less host must fall back, not crash."""
+    import os
+    from yoloface_tpu.host.gui import run_gui
+    old = os.environ.pop("DISPLAY", None)
+    try:
+        assert run_gui(config_path="/tmp/_gui_cfg_test.json") is False
+        assert "falling back" in capsys.readouterr().out
+    finally:
+        if old is not None:
+            os.environ["DISPLAY"] = old

@@ -40,7 +40,11 @@ def main():
 
     raw = _os.environ.get("YOLOFACE_TPU_TILE_XLA", PT.DEFAULT_TILE_XLA)
     xla_secs = set(raw.split(","))
-    all_suffix_t = {o for op in suffix for o in op.outputs}
+    # only tensors the twin plan materializes (fast2 fuses conv+leaky,
+    # so fused-away conv outputs never exist in its env)
+    twin_probe = Int8Engine(g448, mode=twin_mode)
+    materialized = {fn.out_idx for fn in twin_probe._plan}
+    all_suffix_t = {o for op in suffix for o in op.outputs} & materialized
 
     plan = []
     all_groups = sections + ([suffix] if suffix else [])

@@ -240,7 +240,17 @@ def main(argv=None):
                    help="write a rendered dashboard PNG (boxes + history "
                         "chart) at every render point")
     p.add_argument("--tflite")
+    p.add_argument("--gui", action="store_true",
+                   help="interactive Tkinter dashboard (host/gui.py — "
+                        "the reference GUI twin); falls back to the "
+                        "headless loop when no display is available")
     args = p.parse_args(argv)
+
+    if args.gui:
+        from yoloface_tpu.host.gui import run_gui
+        if run_gui(args.config):
+            return
+        # no display: continue into the terminal loop below
 
     defaults = {"source": "stdin", "batches": 4, "batch_size": 8,
                 "render_every": 1, "canvas": False,
