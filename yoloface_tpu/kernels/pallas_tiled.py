@@ -1189,13 +1189,27 @@ def _build_tiled_section(graph: GraphDef, sec: _TSec) -> Callable:
 def _build_xla_section(graph: GraphDef, sec_ops: List, exact: bool,
                       v2: bool, later_needs: set) -> Callable:
     """Run one section on the engine's XLA twin lowering (hybrid mode,
-    env YOLOFACE_TPU_TILE_XLA): env tensors are WHCN, the XLA fns expect
-    NHWC, so the section transposes at its boundaries.  Bit-identical by
-    construction (the XLA fns ARE the twin)."""
+    env YOLOFACE_TPU_TILE_XLA).
+
+    WHCN-NATIVE: the twin is built with ``xla_layout="whcn"`` so its fns
+    consume/produce the plan's [W,H,C,N] env tensors directly — zero
+    boundary relayouts.  This matters twice at 448 scale: (a) the
+    WHCN<->NHWC transposes of >200 MB activations dominated the hybrid's
+    cost, and (b) an int8 conv consuming a fused transpose-from-batch-minor
+    is miscompiled on real v5e hardware (XLA-level divergence, CPU
+    interpret exact — measured in tools/debug448_fix*.py; WHCN-native
+    convs/depthwise/pools are bit-exact on the same chip).  Bit-identical
+    to the NHWC twin by construction: the integer conv math and the
+    elementwise requantization are layout-invariant.
+
+    Env YOLOFACE_TPU_XSEC_NHWC=1 restores the transpose-wrapped NHWC twin
+    (A/B debugging of exactly that hardware divergence)."""
     from yoloface_tpu.runtime.engine import Int8Engine
 
     mode = "exact" if exact else ("fast2" if v2 else "fast")
-    eng = Int8Engine(graph, mode=mode)
+    nhwc = os.environ.get("YOLOFACE_TPU_XSEC_NHWC") == "1"
+    eng = Int8Engine(graph, mode=mode,
+                     xla_layout="nhwc" if nhwc else "whcn")
     by_out = {fn.out_idx: fn for fn in eng._plan}
     sec_idx = {op.index for op in sec_ops}
     owner, _ = _absorption(graph)
@@ -1210,20 +1224,26 @@ def _build_xla_section(graph: GraphDef, sec_ops: List, exact: bool,
         if fn is not None and fn not in fns:
             fns.append(fn)
     produced = [o for op in sec_ops for o in op.outputs]
-    inputs = sorted({i for op in sec_ops for i in op.inputs
-                     if i >= 0 and graph.tensor(i).data is None
-                     and i not in produced})
     outputs = [i for i in dict.fromkeys(produced) if i in later_needs]
-    perm_in, perm_out = (3, 1, 0, 2), (2, 1, 3, 0)   # WHCN<->NHWC
 
-    def fn(env):
-        nenv = {i: jnp.transpose(env[i], perm_in) for i in inputs}
-        for f in fns:
-            nenv_out = f(nenv)
-            nenv[f.out_idx] = nenv_out
-        for o in outputs:
-            env[o] = jnp.transpose(nenv[o], perm_out)
-        return env[outputs[-1]]
+    if nhwc:
+        inputs = sorted({i for op in sec_ops for i in op.inputs
+                         if i >= 0 and graph.tensor(i).data is None
+                         and i not in produced})
+        perm_in, perm_out = (3, 1, 0, 2), (2, 1, 3, 0)   # WHCN<->NHWC
+
+        def fn(env):
+            nenv = {i: jnp.transpose(env[i], perm_in) for i in inputs}
+            for f in fns:
+                nenv[f.out_idx] = f(nenv)
+            for o in outputs:
+                env[o] = jnp.transpose(nenv[o], perm_out)
+            return env[outputs[-1]]
+    else:
+        def fn(env):
+            for f in fns:
+                env[f.out_idx] = f(env)
+            return env[outputs[-1]]
 
     fn.out_idx = outputs[-1]                     # type: ignore
     fn.stage_outputs = list(outputs)             # type: ignore

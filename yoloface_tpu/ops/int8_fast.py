@@ -21,8 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from yoloface_tpu.ops.int8_ref import (INT8_MAX, INT8_MIN, _same_pad_amounts,
-                                       concat_int8, maxpool_int8, pad_int8)
+from yoloface_tpu.ops.int8_ref import (INT8_MAX, INT8_MIN, _LAYOUTS,
+                                       _per_channel, _same_pad_amounts,
+                                       _spatial_pad_cfg, concat_int8,
+                                       maxpool_int8, pad_int8)
 
 __all__ = [
     "conv2d_int8_fast", "depthwise_conv2d_int8_fast", "leaky_relu_int8_fast",
@@ -37,46 +39,52 @@ def _requant_f32(acc_i32, scale, zero_point, act_min, act_max):
 
 
 def conv2d_int8_fast(x, weights, bias, *, input_zp, output_zp, scale,
-                     stride, padding, act_min=INT8_MIN, act_max=INT8_MAX):
+                     stride, padding, act_min=INT8_MIN, act_max=INT8_MAX,
+                     layout="NHWC"):
     """Per-channel int8 conv with float requant; ``scale`` is float32 [Co]
     = s_in * s_w[c] / s_out."""
+    L = _LAYOUTS[layout]
     kh, kw = weights.shape[1], weights.shape[2]
     if padding == "SAME":
-        ph = _same_pad_amounts(x.shape[1], stride[0], kh)
-        pw = _same_pad_amounts(x.shape[2], stride[1], kw)
+        ph = _same_pad_amounts(x.shape[L["h"]], stride[0], kh)
+        pw = _same_pad_amounts(x.shape[L["w"]], stride[1], kw)
         x = lax.pad(x, jnp.int8(input_zp),
-                    [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0), (0, 0, 0)])
+                    _spatial_pad_cfg(ph, pw, L["h"], L["w"]))
     acc = lax.conv_general_dilated(
         x, jnp.asarray(weights), window_strides=stride, padding="VALID",
-        dimension_numbers=("NHWC", "OHWI", "NHWC"),
+        dimension_numbers=L["conv_dn"],
         preferred_element_type=jnp.int32)
     zp_corr = (weights.astype(np.int64).sum(axis=(1, 2, 3))
                * int(input_zp)).astype(np.int32)
-    acc = acc + jnp.asarray(bias - zp_corr, jnp.int32)
-    return _requant_f32(acc, jnp.asarray(scale, jnp.float32), output_zp,
-                        act_min, act_max)
+    acc = acc + _per_channel(np.asarray(bias - zp_corr, np.int32), L["c"])
+    return _requant_f32(acc,
+                        _per_channel(np.asarray(scale, np.float32), L["c"]),
+                        output_zp, act_min, act_max)
 
 
 def depthwise_conv2d_int8_fast(x, weights, bias, *, input_zp, output_zp,
                                scale, stride, padding,
-                               act_min=INT8_MIN, act_max=INT8_MAX):
+                               act_min=INT8_MIN, act_max=INT8_MAX,
+                               layout="NHWC"):
+    L = _LAYOUTS[layout]
     c = weights.shape[3]
     kh, kw = weights.shape[1], weights.shape[2]
     if padding == "SAME":
-        ph = _same_pad_amounts(x.shape[1], stride[0], kh)
-        pw = _same_pad_amounts(x.shape[2], stride[1], kw)
+        ph = _same_pad_amounts(x.shape[L["h"]], stride[0], kh)
+        pw = _same_pad_amounts(x.shape[L["w"]], stride[1], kw)
         x = lax.pad(x, jnp.int8(input_zp),
-                    [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0), (0, 0, 0)])
+                    _spatial_pad_cfg(ph, pw, L["h"], L["w"]))
     rhs = jnp.asarray(np.transpose(weights, (1, 2, 0, 3)))
     acc = lax.conv_general_dilated(
         x, rhs, window_strides=stride, padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        dimension_numbers=L["dw_dn"], feature_group_count=c,
         preferred_element_type=jnp.int32)
     zp_corr = (weights.astype(np.int64).sum(axis=(0, 1, 2))
                * int(input_zp)).astype(np.int32)
-    acc = acc + jnp.asarray(bias - zp_corr, jnp.int32)
-    return _requant_f32(acc, jnp.asarray(scale, jnp.float32), output_zp,
-                        act_min, act_max)
+    acc = acc + _per_channel(np.asarray(bias - zp_corr, np.int32), L["c"])
+    return _requant_f32(acc,
+                        _per_channel(np.asarray(scale, np.float32), L["c"]),
+                        output_zp, act_min, act_max)
 
 
 def leaky_relu_int8_fast(x, *, input_zp, output_zp, scale_identity,

@@ -28,15 +28,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from yoloface_tpu.ops.int8_ref import INT8_MAX, INT8_MIN, _same_pad_amounts
+from yoloface_tpu.ops.int8_ref import (INT8_MAX, INT8_MIN, _LAYOUTS,
+                                       _per_channel, _same_pad_amounts,
+                                       _spatial_pad_cfg)
 
 __all__ = ["conv2d_leaky_int8_fast2", "depthwise_conv2d_leaky_int8_fast2"]
 
 
-def _epilogue_v2(acc_i32, scale, conv_zp, out_zp, s_id, s_al):
+def _epilogue_v2(acc_i32, scale, conv_zp, out_zp, s_id, s_al, c_axis=3):
     """The single-rounding fused epilogue — elementwise-identical to the
     arena kernel's v2 branch (kernels/pallas_int8.apply_requant_leaky)."""
-    t = acc_i32.astype(jnp.float32) * scale.reshape(1, 1, 1, -1)
+    t = acc_i32.astype(jnp.float32) * _per_channel(scale, c_axis)
     t = jnp.clip(t, np.float32(INT8_MIN - conv_zp),
                  np.float32(INT8_MAX - conv_zp))
     sel = jnp.where(t >= 0, np.float32(s_id), np.float32(s_al))
@@ -45,47 +47,48 @@ def _epilogue_v2(acc_i32, scale, conv_zp, out_zp, s_id, s_al):
 
 
 def conv2d_leaky_int8_fast2(x, weights, bias, *, input_zp, conv_zp, out_zp,
-                            scale, s_id, s_al, stride, padding):
+                            scale, s_id, s_al, stride, padding,
+                            layout="NHWC"):
     """Per-channel int8 conv fused with LeakyReLU, single rounding.
 
     ``scale`` f32 [Co] = s_in*s_w[c]/s_conv; ``s_id`` = s_conv/s_out;
     ``s_al`` = alpha * s_id (both f32 scalars)."""
+    L = _LAYOUTS[layout]
     kh, kw = weights.shape[1], weights.shape[2]
     if padding == "SAME":
-        ph = _same_pad_amounts(x.shape[1], stride[0], kh)
-        pw = _same_pad_amounts(x.shape[2], stride[1], kw)
+        ph = _same_pad_amounts(x.shape[L["h"]], stride[0], kh)
+        pw = _same_pad_amounts(x.shape[L["w"]], stride[1], kw)
         x = lax.pad(x, jnp.int8(input_zp),
-                    [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0),
-                     (0, 0, 0)])
+                    _spatial_pad_cfg(ph, pw, L["h"], L["w"]))
     acc = lax.conv_general_dilated(
         x, jnp.asarray(weights), window_strides=stride, padding="VALID",
-        dimension_numbers=("NHWC", "OHWI", "NHWC"),
+        dimension_numbers=L["conv_dn"],
         preferred_element_type=jnp.int32)
     zp_corr = (weights.astype(np.int64).sum(axis=(1, 2, 3))
                * int(input_zp)).astype(np.int32)
-    acc = acc + jnp.asarray(bias - zp_corr, jnp.int32)
+    acc = acc + _per_channel(np.asarray(bias - zp_corr, np.int32), L["c"])
     return _epilogue_v2(acc, jnp.asarray(scale, jnp.float32), conv_zp,
-                        out_zp, s_id, s_al)
+                        out_zp, s_id, s_al, c_axis=L["c"])
 
 
 def depthwise_conv2d_leaky_int8_fast2(x, weights, bias, *, input_zp,
                                       conv_zp, out_zp, scale, s_id, s_al,
-                                      stride, padding):
+                                      stride, padding, layout="NHWC"):
+    L = _LAYOUTS[layout]
     c = weights.shape[3]
     kh, kw = weights.shape[1], weights.shape[2]
     if padding == "SAME":
-        ph = _same_pad_amounts(x.shape[1], stride[0], kh)
-        pw = _same_pad_amounts(x.shape[2], stride[1], kw)
+        ph = _same_pad_amounts(x.shape[L["h"]], stride[0], kh)
+        pw = _same_pad_amounts(x.shape[L["w"]], stride[1], kw)
         x = lax.pad(x, jnp.int8(input_zp),
-                    [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0),
-                     (0, 0, 0)])
+                    _spatial_pad_cfg(ph, pw, L["h"], L["w"]))
     rhs = jnp.asarray(np.transpose(weights, (1, 2, 0, 3)))
     acc = lax.conv_general_dilated(
         x, rhs, window_strides=stride, padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        dimension_numbers=L["dw_dn"], feature_group_count=c,
         preferred_element_type=jnp.int32)
     zp_corr = (weights.astype(np.int64).sum(axis=(0, 1, 2))
                * int(input_zp)).astype(np.int32)
-    acc = acc + jnp.asarray(bias - zp_corr, jnp.int32)
+    acc = acc + _per_channel(np.asarray(bias - zp_corr, np.int32), L["c"])
     return _epilogue_v2(acc, jnp.asarray(scale, jnp.float32), conv_zp,
-                        out_zp, s_id, s_al)
+                        out_zp, s_id, s_al, c_axis=L["c"])

@@ -30,6 +30,36 @@ from yoloface_tpu.core.fixedpoint import multiply_by_quantized_multiplier
 
 INT8_MIN, INT8_MAX = -128, 127
 
+# Layout geometry for the 4-D activation ops.  "NHWC" is the TFLite
+# reference layout; "WHCN" ([W,H,C,N]) is the framework's TPU activation
+# layout (C on sublanes, batch on lanes).  Running the XLA twin natively
+# in WHCN removes the boundary relayouts of hybrid tiled routing, which
+# (a) dominate the hybrid's cost on 448-scale planes and (b) trip a
+# hardware-only XLA miscompile when an int8 conv consumes a fused
+# transpose-from-batch-minor (measured on v5e; tools/debug448_fix*.py).
+# The integer conv/pool math and the elementwise requantization are
+# layout-invariant, so both layouts produce bit-identical tensors.
+_LAYOUTS = {
+    "NHWC": dict(conv_dn=("NHWC", "OHWI", "NHWC"),
+                 dw_dn=("NHWC", "HWIO", "NHWC"), h=1, w=2, c=3),
+    "WHCN": dict(conv_dn=("WHCN", "OHWI", "WHCN"),
+                 dw_dn=("WHCN", "HWIO", "WHCN"), h=1, w=0, c=2),
+}
+
+
+def _per_channel(v, c_axis: int):
+    """Broadcast-shape a per-channel [Co] constant for a 4-D activation."""
+    shape = [1, 1, 1, 1]
+    shape[c_axis] = -1
+    return jnp.asarray(v).reshape(shape)
+
+
+def _spatial_pad_cfg(ph, pw, h_axis: int, w_axis: int):
+    cfg = [(0, 0, 0)] * 4
+    cfg[h_axis] = (int(ph[0]), int(ph[1]), 0)
+    cfg[w_axis] = (int(pw[0]), int(pw[1]), 0)
+    return cfg
+
 
 def _clamp_to_int8(x):
     return jnp.clip(x, INT8_MIN, INT8_MAX).astype(jnp.int8)
@@ -62,6 +92,7 @@ def conv2d_int8(
     padding: str,            # "SAME" | "VALID"
     act_min: int = INT8_MIN,
     act_max: int = INT8_MAX,
+    layout: str = "NHWC",
 ):
     """TFLite ``reference_integer_ops::ConvPerChannel``, bit-exact.
 
@@ -70,23 +101,26 @@ def conv2d_int8(
     so the zero-point correction folds into a per-channel bias constant and
     the conv itself runs on raw int8 operands (MXU int8 path).
     """
+    L = _LAYOUTS[layout]
     kh, kw = weights.shape[1], weights.shape[2]
     if padding == "SAME":
-        ph = _same_pad_amounts(x.shape[1], stride[0], kh)
-        pw = _same_pad_amounts(x.shape[2], stride[1], kw)
+        ph = _same_pad_amounts(x.shape[L["h"]], stride[0], kh)
+        pw = _same_pad_amounts(x.shape[L["w"]], stride[1], kw)
         x = lax.pad(x, jnp.int8(input_zp),
-                    [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0), (0, 0, 0)])
+                    _spatial_pad_cfg(ph, pw, L["h"], L["w"]))
     acc = lax.conv_general_dilated(
         x, jnp.asarray(weights),
         window_strides=stride, padding="VALID",
-        dimension_numbers=("NHWC", "OHWI", "NHWC"),
+        dimension_numbers=L["conv_dn"],
         preferred_element_type=jnp.int32,
     )
     zp_correction = (weights.astype(np.int64).sum(axis=(1, 2, 3))
                      * int(input_zp)).astype(np.int32)
-    acc = acc + jnp.asarray(bias - zp_correction, jnp.int32)
+    acc = acc + _per_channel(np.asarray(bias - zp_correction, np.int32),
+                             L["c"])
     out = multiply_by_quantized_multiplier(
-        acc, jnp.asarray(qm), jnp.asarray(shift)) + jnp.int32(output_zp)
+        acc, _per_channel(qm, L["c"]),
+        _per_channel(shift, L["c"])) + jnp.int32(output_zp)
     return jnp.clip(out, act_min, act_max).astype(jnp.int8)
 
 
@@ -103,29 +137,33 @@ def depthwise_conv2d_int8(
     padding: str,
     act_min: int = INT8_MIN,
     act_max: int = INT8_MAX,
+    layout: str = "NHWC",
 ):
     """TFLite ``reference_integer_ops::DepthwiseConvPerChannel``, bit-exact."""
     assert weights.shape[0] == 1, "depth_multiplier > 1 not needed by yoloface"
+    L = _LAYOUTS[layout]
     c = weights.shape[3]
     kh, kw = weights.shape[1], weights.shape[2]
     if padding == "SAME":
-        ph = _same_pad_amounts(x.shape[1], stride[0], kh)
-        pw = _same_pad_amounts(x.shape[2], stride[1], kw)
+        ph = _same_pad_amounts(x.shape[L["h"]], stride[0], kh)
+        pw = _same_pad_amounts(x.shape[L["w"]], stride[1], kw)
         x = lax.pad(x, jnp.int8(input_zp),
-                    [(0, 0, 0), (ph[0], ph[1], 0), (pw[0], pw[1], 0), (0, 0, 0)])
+                    _spatial_pad_cfg(ph, pw, L["h"], L["w"]))
     # lax depthwise: rhs HWIO with I=1, O=C, feature_group_count=C
     rhs = jnp.asarray(np.transpose(weights, (1, 2, 0, 3)))  # [Kh,Kw,1,C]
     acc = lax.conv_general_dilated(
         x, rhs, window_strides=stride, padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=L["dw_dn"],
         feature_group_count=c,
         preferred_element_type=jnp.int32,
     )
     zp_correction = (weights.astype(np.int64).sum(axis=(0, 1, 2))
                      * int(input_zp)).astype(np.int32)
-    acc = acc + jnp.asarray(bias - zp_correction, jnp.int32)
+    acc = acc + _per_channel(np.asarray(bias - zp_correction, np.int32),
+                             L["c"])
     out = multiply_by_quantized_multiplier(
-        acc, jnp.asarray(qm), jnp.asarray(shift)) + jnp.int32(output_zp)
+        acc, _per_channel(qm, L["c"]),
+        _per_channel(shift, L["c"])) + jnp.int32(output_zp)
     return jnp.clip(out, act_min, act_max).astype(jnp.int8)
 
 
@@ -157,19 +195,25 @@ def leaky_relu_int8(
 
 
 def maxpool_int8(x, *, filter_hw: Tuple[int, int], stride: Tuple[int, int],
-                 padding: str, act_min: int = INT8_MIN, act_max: int = INT8_MAX):
+                 padding: str, act_min: int = INT8_MIN,
+                 act_max: int = INT8_MAX, layout: str = "NHWC"):
     """TFLite MAX_POOL_2D: padded lanes use -128 and thus never win the max,
     matching the clipped-window semantics of the reference kernel."""
+    L = _LAYOUTS[layout]
+    window = [1, 1, 1, 1]
+    strides = [1, 1, 1, 1]
+    window[L["h"]], window[L["w"]] = filter_hw[0], filter_hw[1]
+    strides[L["h"]], strides[L["w"]] = stride[0], stride[1]
+    pads = [(0, 0)] * 4
     if padding == "SAME":
-        ph = _same_pad_amounts(x.shape[1], stride[0], filter_hw[0])
-        pw = _same_pad_amounts(x.shape[2], stride[1], filter_hw[1])
-        pads = [(0, 0), ph, pw, (0, 0)]
-    else:
-        pads = [(0, 0)] * 4
+        pads[L["h"]] = _same_pad_amounts(x.shape[L["h"]], stride[0],
+                                         filter_hw[0])
+        pads[L["w"]] = _same_pad_amounts(x.shape[L["w"]], stride[1],
+                                         filter_hw[1])
     out = lax.reduce_window(
         x, jnp.int8(INT8_MIN), lax.max,
-        window_dimensions=(1, filter_hw[0], filter_hw[1], 1),
-        window_strides=(1, stride[0], stride[1], 1),
+        window_dimensions=tuple(window),
+        window_strides=tuple(strides),
         padding=pads,
     )
     return jnp.clip(out, act_min, act_max).astype(jnp.int8)
@@ -225,27 +269,32 @@ def concat_int8(xs: Sequence, axis: int):
 
 def avgpool_int8(x, *, filter_hw: Tuple[int, int], stride: Tuple[int, int],
                  padding: str, act_min: int = INT8_MIN,
-                 act_max: int = INT8_MAX):
+                 act_max: int = INT8_MAX, layout: str = "NHWC"):
     """TFLite AVERAGE_POOL_2D (int8): clipped-window integer mean with
     round-half-away-from-zero (``(sum +- count/2) / count`` in C semantics).
     Edge windows divide by the number of VALID taps only, so the divisor is
     a static per-position array."""
-    n, h, w, c = x.shape
+    L = _LAYOUTS[layout]
+    h, w = x.shape[L["h"]], x.shape[L["w"]]
     fh, fw = filter_hw
+    window = [1, 1, 1, 1]
+    strides = [1, 1, 1, 1]
+    window[L["h"]], window[L["w"]] = fh, fw
+    strides[L["h"]], strides[L["w"]] = stride[0], stride[1]
+    pads = [(0, 0)] * 4
     if padding == "SAME":
-        ph = _same_pad_amounts(h, stride[0], fh)
-        pw = _same_pad_amounts(w, stride[1], fw)
-    else:
-        ph = pw = (0, 0)
-    pads = [(0, 0), ph, pw, (0, 0)]
+        pads[L["h"]] = _same_pad_amounts(h, stride[0], fh)
+        pads[L["w"]] = _same_pad_amounts(w, stride[1], fw)
+    ones_shape = [1, 1, 1, 1]
+    ones_shape[L["h"]], ones_shape[L["w"]] = h, w
     acc = lax.reduce_window(
         x.astype(jnp.int32), jnp.int32(0), lax.add,
-        window_dimensions=(1, fh, fw, 1),
-        window_strides=(1, stride[0], stride[1], 1), padding=pads)
+        window_dimensions=tuple(window),
+        window_strides=tuple(strides), padding=pads)
     counts = lax.reduce_window(
-        jnp.ones((1, h, w, 1), jnp.int32), jnp.int32(0), lax.add,
-        window_dimensions=(1, fh, fw, 1),
-        window_strides=(1, stride[0], stride[1], 1), padding=pads)
+        jnp.ones(ones_shape, jnp.int32), jnp.int32(0), lax.add,
+        window_dimensions=tuple(window),
+        window_strides=tuple(strides), padding=pads)
     half = counts // 2
     mean = jnp.where(acc >= 0, (acc + half) // counts,
                      -((-acc + half) // counts))
@@ -320,16 +369,18 @@ def softmax_int8(x, *, input_scale: float, input_zp: int, beta: float = 1.0):
                     INT8_MAX).astype(jnp.int8)
 
 
-def resize_nearest_int8(x, *, out_hw: Tuple[int, int]):
+def resize_nearest_int8(x, *, out_hw: Tuple[int, int], layout: str = "NHWC"):
     """TFLite RESIZE_NEAREST_NEIGHBOR (int8, align_corners=False,
     half_pixel_centers=False) for integer upscale factors: pure pixel
     replication (``floor(i * in/out)`` == ``i // factor``), the darknet
     ``upsample`` layer's semantics (yolo_to_h5.py upsample handling).
     Quantization passes through unchanged (TFLite keeps in/out params
     equal for nearest resize)."""
-    n, h, w, c = x.shape
+    L = _LAYOUTS[layout]
+    h, w = x.shape[L["h"]], x.shape[L["w"]]
     oh, ow = out_hw
     if oh % h or ow % w:
         raise NotImplementedError(
             f"resize_nearest_int8: non-integer scale {h}x{w} -> {oh}x{ow}")
-    return jnp.repeat(jnp.repeat(x, oh // h, axis=1), ow // w, axis=2)
+    return jnp.repeat(jnp.repeat(x, oh // h, axis=L["h"]), ow // w,
+                      axis=L["w"])

@@ -47,7 +47,8 @@ def _check_no_dilation(op: "OpDef") -> None:
 class Int8Engine:
     """Executes an imported int8 TFLite graph bit-exactly on TPU via XLA."""
 
-    def __init__(self, graph: GraphDef, mode: str = "exact"):
+    def __init__(self, graph: GraphDef, mode: str = "exact",
+                 xla_layout: str = "nhwc"):
         """mode:
           * "exact" — XLA ops, bit-exact gemmlowp fixed-point requantization
             (the parity oracle);
@@ -72,7 +73,22 @@ class Int8Engine:
             on v5e vs fast 37.7; bit-identical to its "fast2" XLA twin).
         All modes are validated bit-exactly against their semantics twin
         ("fast" or "exact").
+
+        xla_layout (base XLA modes only): "nhwc" (default) keeps the
+        TFLite activation layout; "whcn" runs every op natively in the
+        framework's [W,H,C,N] TPU layout (conv dimension numbers +
+        per-channel broadcast axes change; the integer math and the
+        elementwise requant are layout-invariant, so outputs are
+        bit-identical).  WHCN twins back the hybrid tiled routing with
+        zero boundary relayouts — see kernels/pallas_tiled.py.
         """
+        if xla_layout not in ("nhwc", "whcn"):
+            raise ValueError(f"unknown xla_layout {xla_layout!r}")
+        if xla_layout == "whcn" and mode not in ("exact", "fast", "fast2"):
+            raise ValueError(
+                f"xla_layout='whcn' applies to the base XLA modes only, "
+                f"not {mode!r} (pallas modes have their own layouts)")
+        self._xla_layout = xla_layout
         if mode not in ("exact", "fast", "fast2", "pallas", "pallas_exact",
                         "pallas_fused", "pallas_fused_exact",
                         "pallas_arena", "pallas_arena_exact",
@@ -102,7 +118,8 @@ class Int8Engine:
         self.input_shape = tuple(in_t.shape[1:])  # without batch
         # layout of the pallas activation tensors + the NHWC<->layout perms
         # ([N,H,W,C] in; CWHN = [C,W,H,N]; WHCN = [W,H,C,N])
-        if mode.startswith(("pallas_mxu", "pallas_tiled")):
+        if (mode.startswith(("pallas_mxu", "pallas_tiled"))
+                or xla_layout == "whcn"):
             self._perm_in, self._perm_out = (2, 1, 3, 0), (3, 1, 0, 2)
         else:
             self._perm_in = self._perm_out = (3, 2, 1, 0)
@@ -158,10 +175,26 @@ class Int8Engine:
         t = g.tensor
         name = op.opname
         out_idx = op.outputs[0]
+        whcn = self._xla_layout == "whcn"
+        lay = "WHCN" if whcn else "NHWC"
+
+        if whcn and name in ("RESHAPE", "FULLY_CONNECTED", "SOFTMAX"):
+            # flat-feature head ops have no 4-D WHCN form; lazy-raise so a
+            # graph is only rejected if a WHCN plan actually RUNS one
+            # (hybrid tiled routing never routes these to a WHCN section)
+            def fn(env, name=name):
+                raise NotImplementedError(
+                    f"op {name} has no WHCN-layout XLA lowering; route "
+                    f"its section to the NHWC twin")
+
+            fn.out_idx = out_idx  # type: ignore[attr-defined]
+            return fn
 
         if name == "PAD":
             data_idx, pad_idx = op.inputs
             paddings = t(pad_idx).data.astype(np.int64)
+            if whcn:
+                paddings = paddings[[2, 1, 3, 0]]   # NHWC rows -> WHCN rows
             zp = t(out_idx).qparams.zero_point
 
             def fn(env, data_idx=data_idx, paddings=paddings, zp=zp):
@@ -179,7 +212,7 @@ class Int8Engine:
                 weights=w.data, bias=b.data.astype(np.int32),
                 input_zp=in_q.zero_point, output_zp=out_q.zero_point,
                 stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
-                padding=op.attrs["padding"],
+                padding=op.attrs["padding"], layout=lay,
             )
             assert op.attrs["activation"] == "NONE"
             if self.mode == "exact":
@@ -222,7 +255,7 @@ class Int8Engine:
             (x_idx,) = op.inputs
             kw = dict(filter_hw=(op.attrs["filter_h"], op.attrs["filter_w"]),
                       stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
-                      padding=op.attrs["padding"])
+                      padding=op.attrs["padding"], layout=lay)
 
             def fn(env, x_idx=x_idx, kw=kw):
                 return ops.maxpool_int8(env[x_idx], **kw)
@@ -275,7 +308,9 @@ class Int8Engine:
 
         elif name == "CONCATENATION":
             idxs = list(op.inputs)
-            axis = op.attrs["axis"]
+            axis = op.attrs["axis"] % 4
+            if whcn:
+                axis = {0: 3, 1: 1, 2: 0, 3: 2}[axis]  # NHWC ax -> WHCN ax
 
             def fn(env, idxs=idxs, axis=axis):
                 return ops.concat_int8([env[i] for i in idxs], axis)
@@ -284,7 +319,7 @@ class Int8Engine:
             (x_idx,) = op.inputs
             kw = dict(filter_hw=(op.attrs["filter_h"], op.attrs["filter_w"]),
                       stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
-                      padding=op.attrs["padding"])
+                      padding=op.attrs["padding"], layout=lay)
 
             def fn(env, x_idx=x_idx, kw=kw):
                 return ops.avgpool_int8(env[x_idx], **kw)
@@ -329,8 +364,9 @@ class Int8Engine:
                     "RESIZE_NEAREST_NEIGHBOR align_corners/half_pixel")
             out_hw = (t(out_idx).shape[1], t(out_idx).shape[2])
 
-            def fn(env, x_idx=x_idx, out_hw=out_hw):
-                return ops.resize_nearest_int8(env[x_idx], out_hw=out_hw)
+            def fn(env, x_idx=x_idx, out_hw=out_hw, lay=lay):
+                return ops.resize_nearest_int8(env[x_idx], out_hw=out_hw,
+                                               layout=lay)
 
         elif name == "FULLY_CONNECTED":
             x_idx, w_idx = op.inputs[0], op.inputs[1]
@@ -436,6 +472,7 @@ class Int8Engine:
                 s_id=float(ratio), s_al=float(ratio * alpha),
                 stride=(op.attrs["stride_h"], op.attrs["stride_w"]),
                 padding=op.attrs["padding"],
+                layout="WHCN" if self._xla_layout == "whcn" else "NHWC",
             )
             impl = (fast2_ops.conv2d_leaky_int8_fast2
                     if op.opname == "CONV_2D"
@@ -450,28 +487,30 @@ class Int8Engine:
 
     # ------------------------------------------------------------ execution
     def _forward(self, x, collect: bool = False):
-        chwn = self.mode.startswith("pallas")
+        pall = self.mode.startswith("pallas")
+        relayout = pall or self._xla_layout == "whcn"
         n = x.shape[0]
-        if chwn:
+        if relayout:
             # Mosaic kernels want full 128-lane batch tiles (tiny lane dims
             # trip vector-reshape lowering); pad and slice the result.
-            if jax.default_backend() != "cpu" and n % 128 != 0:
+            if pall and jax.default_backend() != "cpu" and n % 128 != 0:
                 pad = (-n) % 128
                 x = jnp.concatenate(
                     [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-            # NHWC -> pallas layout (CWHN keeps H in sublanes; WHCN puts C
-            # in sublanes so 1x1 convs hit the MXU)
+            # NHWC -> activation layout (CWHN keeps H in sublanes; WHCN
+            # puts C in sublanes so 1x1 convs hit the MXU)
             x = jnp.transpose(x, self._perm_in)
         env = {self.input_idx: x}
         for fn in self._plan:
             env[fn.out_idx] = fn(env)
         if collect:
-            if chwn:
+            if relayout:
                 env = {k: jnp.transpose(v, self._perm_out)[:n]
                        for k, v in env.items()}
             return env
         outs = tuple(
-            (jnp.transpose(env[o], self._perm_out)[:n] if chwn else env[o])
+            (jnp.transpose(env[o], self._perm_out)[:n] if relayout
+             else env[o])
             for o in self.output_idxs)
         return outs[0] if len(outs) == 1 else outs
 
