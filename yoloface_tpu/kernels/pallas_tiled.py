@@ -1004,6 +1004,17 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
             _, w, _h = sec.cwh[out_idx]
             c_eff = sec.cpad.get(x_idx, ci)
             tot += (Li + w // nw + Ri) * 16 * kh * kw_ * c_eff * _TILE_NT
+        # pallas_call OUTPUT windows: Mosaic allocates each grid-blocked
+        # output window in VMEM with 2 buffering levels — measured on real
+        # v5e: section 1 of the 448 plan (5 outputs) compiled at NW=8 under
+        # the view-only estimate but the AOT compiler reported 137.66M of
+        # 128M scoped vmem, ~70M of it `output window allocation ...
+        # "This allocation has 2 buffering levels"` (tpu_smoke pure-tiled
+        # HTTP-500 root cause).  Counting them here pushes such sections
+        # to a finer NW instead of failing the remote compile.
+        for o in sec.outputs:
+            c, w, h = sec.cwh[o]
+            tot += 2 * (w // nw) * h * c * _TILE_NT
         return tot + _CHUNK_TARGET // 2 <= _VMEM_TARGET
 
     nw_cap = 1 if mis_any else _NW_CAP   # width mismatch pins NW=1 (above)

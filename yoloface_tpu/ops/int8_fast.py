@@ -22,6 +22,7 @@ import numpy as np
 from jax import lax
 
 from yoloface_tpu.ops.int8_ref import (INT8_MAX, INT8_MIN, _LAYOUTS,
+                                       _conv_acc,
                                        _per_channel, _same_pad_amounts,
                                        _spatial_pad_cfg, concat_int8,
                                        maxpool_int8, pad_int8)
@@ -50,10 +51,7 @@ def conv2d_int8_fast(x, weights, bias, *, input_zp, output_zp, scale,
         pw = _same_pad_amounts(x.shape[L["w"]], stride[1], kw)
         x = lax.pad(x, jnp.int8(input_zp),
                     _spatial_pad_cfg(ph, pw, L["h"], L["w"]))
-    acc = lax.conv_general_dilated(
-        x, jnp.asarray(weights), window_strides=stride, padding="VALID",
-        dimension_numbers=L["conv_dn"],
-        preferred_element_type=jnp.int32)
+    acc = _conv_acc(x, weights, stride, L, layout)
     zp_corr = (weights.astype(np.int64).sum(axis=(1, 2, 3))
                * int(input_zp)).astype(np.int32)
     acc = acc + _per_channel(np.asarray(bias - zp_corr, np.int32), L["c"])

@@ -20,6 +20,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
@@ -45,6 +46,37 @@ _LAYOUTS = {
     "WHCN": dict(conv_dn=("WHCN", "OHWI", "WHCN"),
                  dw_dn=("WHCN", "HWIO", "WHCN"), h=1, w=0, c=2),
 }
+
+
+def _conv_acc(x, weights: np.ndarray, stride: Tuple[int, int], L,
+              layout: str):
+    """int32 conv accumulator on raw int8 operands (padding pre-applied).
+
+    WHCN 1x1 stride-1 convs lower through ``lax.dot_general`` contracting
+    the C axis instead of ``conv_general_dilated``: on real v5e hardware
+    an int8 WHCN conv_general_dilated placed DOWNSTREAM of a Pallas custom
+    call in the same program is miscompiled (~70% of output elements
+    wrong — tools/debug448_obs.py, first bad tensor t78 = the 448 hybrid
+    suffix's first 1x1 conv; 3x3 convs, depthwise convs and pools are
+    bit-exact in the same composition, as are 1x1 convs UPSTREAM of the
+    Pallas call: tools/debug448_fix.py / debug448_fix2.py).  The
+    dot_general-contracting-C form with the int32-accumulator transpose
+    was measured bit-exact in that composition (debug448_fix.py 'whcn').
+    Bit-identical by construction — the same integer products feed an
+    exact int32 sum either way.  Env YOLOFACE_TPU_WHCN_CGD1X1=1 restores
+    conv_general_dilated for A/B hardware debugging."""
+    kh, kw = weights.shape[1], weights.shape[2]
+    if (layout == "WHCN" and kh == 1 and kw == 1
+            and tuple(stride) == (1, 1)
+            and os.environ.get("YOLOFACE_TPU_WHCN_CGD1X1") != "1"):
+        co, ci = weights.shape[0], weights.shape[3]
+        w2 = jnp.asarray(np.ascontiguousarray(weights.reshape(co, ci)))
+        acc = lax.dot_general(x, w2, (((2,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        return jnp.transpose(acc, (0, 1, 3, 2))   # [W,H,N,Co]->[W,H,Co,N]
+    return lax.conv_general_dilated(
+        x, jnp.asarray(weights), window_strides=stride, padding="VALID",
+        dimension_numbers=L["conv_dn"], preferred_element_type=jnp.int32)
 
 
 def _per_channel(v, c_axis: int):
@@ -108,12 +140,7 @@ def conv2d_int8(
         pw = _same_pad_amounts(x.shape[L["w"]], stride[1], kw)
         x = lax.pad(x, jnp.int8(input_zp),
                     _spatial_pad_cfg(ph, pw, L["h"], L["w"]))
-    acc = lax.conv_general_dilated(
-        x, jnp.asarray(weights),
-        window_strides=stride, padding="VALID",
-        dimension_numbers=L["conv_dn"],
-        preferred_element_type=jnp.int32,
-    )
+    acc = _conv_acc(x, weights, stride, L, layout)
     zp_correction = (weights.astype(np.int64).sum(axis=(1, 2, 3))
                      * int(input_zp)).astype(np.int32)
     acc = acc + _per_channel(np.asarray(bias - zp_correction, np.int32),
