@@ -64,7 +64,16 @@ def _conv_acc(x, weights: np.ndarray, stride: Tuple[int, int], L,
     was measured bit-exact in that composition (debug448_fix.py 'whcn').
     Bit-identical by construction — the same integer products feed an
     exact int32 sum either way.  Env YOLOFACE_TPU_WHCN_CGD1X1=1 restores
-    conv_general_dilated for A/B hardware debugging."""
+    conv_general_dilated for A/B hardware debugging.
+
+    The v1 fast-bits WHCN program additionally needs per-op
+    optimization_barrier wrapping (runtime/engine.py) — in ITS fusion
+    shapes the dot_general form is miscompiled even with no pallas_call
+    in the program, while conv_general is fine there but still wrong
+    downstream of a pallas_call (tools/debug448_whcn2.py /
+    debug448_v1ctx.py matrix).  With the barriers the default dot_general
+    path is hardware-bit-exact in every measured composition; the
+    CGD1X1=1 A/B knob remains NOT safe downstream of a pallas_call."""
     kh, kw = weights.shape[1], weights.shape[2]
     if (layout == "WHCN" and kh == 1 and kw == 1
             and tuple(stride) == (1, 1)

@@ -150,6 +150,27 @@ class Int8Engine:
             self._plan = self._lower_ops_fast2()
         else:
             self._plan = [self._lower_op(op) for op in graph.ops]
+        if xla_layout == "whcn" and mode == "fast":
+            # Hardware workaround (real v5e, jax 0.9): the v1 fast-bits
+            # WHCN program is miscompiled by XLA's fusion pass — BOTH 1x1
+            # lowerings diverge (~70% of output cells, max|d|~80) in the
+            # fully-fused program, while materializing every tensor
+            # (collect=True) or the fast2/exact fusion shapes are
+            # bit-exact: tools/debug448_whcn.py (per-op: zero divergence),
+            # debug448_whcn2.py (dot_general BAD / conv_general OK with no
+            # pallas_call; batch-independent), debug448_v1ctx.py (BOTH bad
+            # downstream of a pallas_call).  Per-op optimization_barrier
+            # forbids the cross-op fusions XLA gets wrong; bit-identical
+            # by construction (barrier is the identity) and perf-neutral
+            # where it matters (the WHCN v1 twin is a parity baseline,
+            # not a serving mode).
+            def _barrier(fn):
+                def wrapped(env, fn=fn):
+                    return jax.lax.optimization_barrier(fn(env))
+                wrapped.out_idx = fn.out_idx  # type: ignore[attr-defined]
+                return wrapped
+
+            self._plan = [_barrier(fn) for fn in self._plan]
         self._jit_cache: Dict[int, Callable] = {}
 
     def _check_input(self, x):
