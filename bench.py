@@ -232,8 +232,9 @@ def main():
             jnp.int8))(), "generating the 448 input batch")
         _retry_tpu(lambda: jax.block_until_ready(x448),
                    "materializing the 448 input batch")
-        for mode in os.environ.get("BENCH_448_MODES",
-                                   "fast2,pallas_tiled2").split(","):
+        for mode in os.environ.get(
+                "BENCH_448_MODES",
+                "fast2,pallas_tiled2,pallas_tiled_exact").split(","):
             eng = Int8Engine(g448, mode=mode)
             s = jax.jit(lambda v, eng=eng:
                         eng._forward(v).astype(jnp.int32).sum())

@@ -104,6 +104,41 @@ def test_hybrid_xla_routing_bit_parity(g2, monkeypatch, xla_secs):
     assert np.array_equal(ref, out)
 
 
+def test_position_packed_dots_bit_parity(g2, monkeypatch):
+    """Position-packed MXU dots (YOLOFACE_TPU_PACK=1): P consecutive H
+    positions per dot via block-diagonal weights (_pack_p/_blockdiag/
+    _packed_dots).  Must be bit-identical to the per-position emission —
+    the off-diagonal weight blocks are zero, so equality is structural,
+    but this pins the operand-patch wiring (the 1x1 list mutation and the
+    im2col kdepth blockdiag) and the pack reshape+concat numerics.  The
+    chunk target is raised vs the other tiled tests so even H chunks
+    actually trigger P>1 (ch=1 never packs)."""
+    monkeypatch.setenv("YOLOFACE_TPU_TILE_XLA", "none")
+    _lower_threshold(monkeypatch)
+    import yoloface_tpu.kernels.pallas_tiled as pt
+    monkeypatch.setattr(pt, "_CHUNK_TARGET", 4 << 20)
+
+    # the packing factors actually chosen must include P>1 for both the
+    # 1x1 and the im2col generators, or this test is vacuous
+    seen = []
+    orig = pt._pack_p
+
+    def spy(ch, ci, co):
+        p = orig(ch, ci, co)
+        seen.append(p)
+        return p
+
+    monkeypatch.setattr(pt, "_pack_p", spy)
+    monkeypatch.setenv("YOLOFACE_TPU_PACK", "1")
+    rng = np.random.default_rng(2)
+    x = rng.integers(-128, 128, (2, 112, 112, 3)).astype(np.int8)
+    out = np.asarray(Int8Engine(g2, mode="pallas_tiled2")(x))
+    assert max(seen) > 1
+    monkeypatch.setenv("YOLOFACE_TPU_PACK", "0")
+    ref = np.asarray(Int8Engine(g2, mode="pallas_tiled2")(x))
+    assert np.array_equal(ref, out)
+
+
 def test_tiled_pad_into_maxpool_honors_pad_fill(monkeypatch):
     """Regression: an explicit PAD feeding MAX_POOL_2D pads with the PAD
     output's zero-point — those cells are REAL pool inputs that must

@@ -493,12 +493,152 @@ def dw16_probe():
               lambda v, C=C, S=S: pc(kdw16, jnp.int16)(v, w), x, g)
 
 
+def packdot_probe():
+    """Block-diagonal position packing for small-Ci 1x1 MXU dots.
+
+    The per-position dot [Co,Ci]@[Ci,NT] costs ~12 ns per 128-lane block
+    nearly independent of Ci,Co<=40 (docs/PROFILE.md microbench notes), so
+    the tiled 448 conv floor is POSITIONS-bound: 241k positions/frame =
+    23 ms @1024 no matter the layout.  This probe measures whether packing
+    P consecutive H positions into ONE dot via block-diagonal weights
+    [P*Co, P*Ci] @ [P*Ci, NT] (rhs = concat of P phase slices on the
+    sublane axis, the proven im2col pattern) divides the block count by P
+    at similar per-block cost — the only structural lever below the
+    per-position floor.  Also validates bit-equality of the packed form.
+
+    Usage: python tools/microbench.py packdot [batch]
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    NT = 128
+    R = 16
+    rng = np.random.default_rng(0)
+
+    def timed(name, call, x, gmac_total, blocks):
+        try:
+            f = jax.jit(call)
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            t0 = time.perf_counter()
+            y = f(x)
+            np.asarray(y[(0,) * y.ndim])
+            ms = (time.perf_counter() - t0) * 1e3
+            print(f"{name:>30s}: {ms / R:7.3f} ms/op "
+                  f"({gmac_total / ms:6.1f} GMAC/ms, "
+                  f"{ms / R / blocks * 1e6:6.1f} ns/dot)", flush=True)
+            return ms / R
+        except Exception as e:
+            print(f"{name:>30s}: FAILED {str(e).splitlines()[0][:110]}",
+                  flush=True)
+            return None
+
+    # graph-representative shapes: (Ci, Co, S) at the 448 retarget
+    for CI, CO, S in [(8, 4, 28), (4, 18, 28), (18, 6, 28), (6, 36, 28),
+                      (36, 24, 28), (40, 8, 28)]:
+        x = jnp.asarray(rng.integers(-128, 128, (S, S, CI, batch)),
+                        jnp.int8)
+        w = jnp.asarray(rng.integers(-64, 64, (CO, CI)), jnp.int8)
+        g = CI * CO * S * S * batch * R / 1e9
+
+        def pc(kern, extra=()):
+            return pl.pallas_call(
+                kern,
+                grid=(batch // NT,),
+                in_specs=[
+                    pl.BlockSpec((S, S, CI, NT), lambda i: (0, 0, 0, i),
+                                 memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec(tuple(e.shape),
+                                lambda i, nd=e.ndim: (0,) * nd,
+                                memory_space=pltpu.VMEM) for e in extra],
+                out_specs=pl.BlockSpec((S, S, CO, NT),
+                                       lambda i: (0, 0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((S, S, CO, batch),
+                                               jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )
+
+        def k_pp(xr, wr, o, S=S, reps=R):
+            # per-position baseline (the tiled _gen_conv1x1 form)
+            for i in range(S):
+                cols = []
+                for j in range(S):
+                    a = 0
+                    for r in range(reps):
+                        a += lax.dot_general(
+                            wr[:] + r, xr[i, j],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                    cols.append(a)
+                o[i] = jnp.stack(cols, 0)
+
+        base = timed(f"perpos {CI}x{CO}@{S}",
+                     lambda v, w=w: pc(k_pp, (w,))(v, w), x, g,
+                     S * S * batch / NT)
+
+        for P in (2, 4, 8, 16):
+            if P * CI > 128 or P * CO > 128 or S % P:
+                continue
+            wp = np.zeros((P * CO, P * CI), np.int8)
+            for p in range(P):
+                wp[p * CO:(p + 1) * CO, p * CI:(p + 1) * CI] = np.asarray(w)
+            wp = jnp.asarray(wp)
+
+            def k_pack(xr, wr, o, S=S, P=P, CI=CI, CO=CO, reps=R):
+                for i in range(S):
+                    xv = xr[i]                       # [S, CI, NT]
+                    # P phase slices concat'd on sublanes: group g's
+                    # sublane block p holds position g*P+p
+                    xg = jnp.concatenate(
+                        [xv.reshape(S // P, P, CI, NT)[:, p]
+                         for p in range(P)], axis=1)  # [S//P, P*CI, NT]
+                    cols = []
+                    for gi in range(S // P):
+                        a = 0
+                        for r in range(reps):
+                            a += lax.dot_general(
+                                wr[:] + r, xg[gi],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+                        for p in range(P):
+                            cols.append(a[p * CO:(p + 1) * CO])
+                    o[i] = jnp.stack(cols, 0)
+
+            ms = timed(f"pack P={P} {CI}x{CO}@{S}",
+                       lambda v, wp=wp, k=k_pack: pc(k, (wp,))(v, wp),
+                       x, g, S * S * batch / NT / P)
+            if ms is not None and P == max(
+                    p for p in (2, 4, 8, 16)
+                    if p * CI <= 128 and p * CO <= 128 and S % p == 0):
+                # bit-equality of the packed form (single rep, true
+                # block-diag zeros): must match per-position exactly
+                def one_pp(xr, wr, o):
+                    k_pp(xr, wr, o, reps=1)
+
+                def one_pk(xr, wr, o, P=P):
+                    k_pack(xr, wr, o, P=P, reps=1)
+
+                ya = jax.jit(lambda v: pc(one_pp, (w,))(v, w))(x)
+                yb = jax.jit(lambda v, wp=wp: pc(one_pk, (wp,))(v, wp))(x)
+                eq = bool(jnp.array_equal(ya, yb))
+                print(f"{'':>30s}  bit-equal P={P}: {eq}", flush=True)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "conv1x1":
         conv1x1_probe()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "dw16":
         dw16_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "packdot":
+        packdot_probe()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "whcn":
         whcn_probe()

@@ -451,11 +451,71 @@ def _phase_h(x, dx: int, s: int, ch: int):
 # --------------------------------------------------------------------------
 # per-kind emit generators (WHCN [W, H, C, nt]; H-chunked fori loops)
 # --------------------------------------------------------------------------
-def _gen_conv1x1(sec: _TSec, x_idx, out_idx, co, ci, requant, leaky):
+def _pack_p(ch: int, ci: int, co: int) -> int:
+    """Largest power-of-2 position-packing factor P dividing the H chunk
+    with both packed dims on one MXU pass (P*ci, P*co <= 128).
+
+    Per-position dots cost ~12 ns per 128-lane block nearly independent
+    of ci,co (docs/PROFILE.md microbench) — the tiled conv floor is
+    POSITION-count-bound.  Packing P consecutive H positions into one
+    block-diagonal dot [P*co, P*ci] @ [P*ci, nt] divides the dot count
+    by P at similar per-dot cost; bit-exact by construction (the
+    off-diagonal weight blocks are zero).  YOLOFACE_TPU_PACK=0 disables;
+    the default flips to ON once the hardware A/B lands (tunnel outage
+    at edit time — CPU interpret parity is green, Mosaic lowering of the
+    pack reshape+concat is still unproven on the chip).
+    """
+    if os.environ.get("YOLOFACE_TPU_PACK", "0") == "0":
+        return 1
+    p = 1
+    while (2 * p <= 16 and 2 * p * ci <= 128 and 2 * p * co <= 128
+           and ch % (2 * p) == 0):
+        p *= 2
+    return p
+
+
+def _blockdiag(w: np.ndarray, p: int) -> np.ndarray:
+    co, ci = w.shape
+    wp = np.zeros((p * co, p * ci), w.dtype)
+    for k in range(p):
+        wp[k * co:(k + 1) * co, k * ci:(k + 1) * ci] = w
+    return wp
+
+
+def _packed_dots(w_v, xc, cw, ch, ci, co, p, nt):
+    """The per-(w,h)-position dot loop, optionally position-packed.
+    xc: [cw, ch, >=ci, nt] int8 window; -> list of [co, nt] int32 accs
+    in (w, h) scan order."""
+    outs = []
+    for wp in range(cw):
+        if p == 1:
+            for hh in range(ch):
+                outs.append(lax.dot_general(
+                    w_v, xc[wp, hh, 0:ci], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32))
+        else:
+            xv = xc[wp, :, 0:ci]                     # [ch, ci, nt]
+            xg = jnp.concatenate(
+                [xv.reshape(ch // p, p, ci, nt)[:, k]
+                 for k in range(p)], axis=1)         # [ch/p, p*ci, nt]
+            for gi in range(ch // p):
+                a = lax.dot_general(
+                    w_v, xg[gi], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                for k in range(p):
+                    outs.append(a[k * co:(k + 1) * co])
+    return outs
+
+
+def _gen_conv1x1(sec: _TSec, x_idx, out_idx, co, ci, requant, leaky,
+                 operands=None):
     Li, Ri = sec.ext[out_idx]
     cw = Li + sec.ws[out_idx] + Ri
     h = sec.cwh[out_idx][2]
     ch = sec.chunk(h, cw, co)
+    p = _pack_p(ch, ci, co)
+    if p > 1 and operands is not None:
+        operands[0] = _blockdiag(operands[0], p)
 
     def emit(tc, opvals):
         w_v, b_v, *rq = opvals
@@ -466,12 +526,7 @@ def _gen_conv1x1(sec: _TSec, x_idx, out_idx, co, ci, requant, leaky):
         def body(hc_i, _):
             h0 = hc_i * ch
             xc = xr[woff:woff + cw, pl.ds(hoff + h0, ch), 0:ci, :]
-            outs = []
-            for wp in range(cw):
-                for hh in range(ch):
-                    outs.append(lax.dot_general(
-                        w_v, xc[wp, hh], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32))
+            outs = _packed_dots(w_v, xc, cw, ch, ci, co, p, nt)
             acc = (jnp.stack(outs, 0).reshape(cw, ch, co, nt)
                    + b_v.reshape(1, 1, co, 1))
             r = apply_requant_leaky(requant, leaky, acc, rq, ch_axis=2)
@@ -485,7 +540,7 @@ def _gen_conv1x1(sec: _TSec, x_idx, out_idx, co, ci, requant, leaky):
 
 
 def _gen_conv_im2col(sec: _TSec, x_idx, out_idx, co, ci, kh, kw_, stride,
-                     pads, fill, requant, leaky):
+                     pads, fill, requant, leaky, operands=None):
     """K x K conv: PER-CHUNK phase-split im2col values, then MXU dots.
     No scratch ref: the whole-plane im2col round trip was measured as the
     stem's dominant VMEM traffic; per-chunk [cw, ch, K, nt] values stay
@@ -502,6 +557,10 @@ def _gen_conv_im2col(sec: _TSec, x_idx, out_idx, co, ci, kh, kw_, stride,
     Lx = Li * stride + pl_w
     ch = sec.chunk(h, cw, co)
     rh = stride * ch + kh - 1
+    kdepth = kw_ * kh * c_eff
+    p = _pack_p(ch, kdepth, co)
+    if p > 1 and operands is not None:
+        operands[0] = _blockdiag(operands[0], p)
 
     def emit(tc, opvals):
         w_v, b_v, *rq = opvals
@@ -520,12 +579,7 @@ def _gen_conv_im2col(sec: _TSec, x_idx, out_idx, co, ci, kh, kw_, stride,
                 for dx in range(kh):
                     pieces.append(_phase_h(wp, dx, stride, ch))
             xc = jnp.concatenate(pieces, axis=2)   # [cw, ch, K, nt]
-            outs = []
-            for wpos in range(cw):
-                for hh in range(ch):
-                    outs.append(lax.dot_general(
-                        w_v, xc[wpos, hh], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32))
+            outs = _packed_dots(w_v, xc, cw, ch, kdepth, co, p, nt)
             acc = (jnp.stack(outs, 0).reshape(cw, ch, co, nt)
                    + b_v.reshape(1, 1, co, 1))
             r = apply_requant_leaky(requant, leaky, acc, rq, ch_axis=2)
@@ -735,12 +789,13 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                 w_arr = np.ascontiguousarray(
                     wd.reshape(co, ci)).astype(np.int8)
                 consumers.append((out_idx, x_idx, 1, 0, 1, 0, 0, None))
+                ops_1x1 = [w_arr, bias_eff, *requant.operand_arrays()]
                 pending.append((
-                    out_idx,
-                    [w_arr, bias_eff, *requant.operand_arrays()],
+                    out_idx, ops_1x1,
                     lambda s_, x_idx=x_idx, out_idx=out_idx, co=co, ci=ci,
-                    rq=requant, lk=leaky:
-                    _gen_conv1x1(s_, x_idx, out_idx, co, ci, rq, lk)))
+                    rq=requant, lk=leaky, o=ops_1x1:
+                    _gen_conv1x1(s_, x_idx, out_idx, co, ci, rq, lk,
+                                 operands=o)))
 
             elif name == "CONV_2D":
                 co, kh, kw_, ci = (wd.shape[0], wd.shape[1], wd.shape[2],
@@ -768,7 +823,7 @@ def _lower_section(graph: GraphDef, sec_ops: List, exact: bool, v2: bool,
                     operands[0] = w2     # patch the placeholder
                     return _gen_conv_im2col(
                         s_, x_idx, out_idx, co, ci, kh, kw_, stride, pads,
-                        fill, rq, lk)
+                        fill, rq, lk, operands=operands)
 
                 ops_list = [None, bias_eff, *requant.operand_arrays()]
                 pending.append((
